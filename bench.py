@@ -1,0 +1,90 @@
+"""Benchmark: differentiable surfel rasterizer throughput on TPU.
+
+Renders a synthetic 200k-splat indoor-like scene at 768×576 (the reference's
+eval resolution class) and reports steady-state frames/sec for the forward
+render. Baseline anchor: the reference CUDA diff-surfel-rasterization forward
+at comparable scene size runs ≈100 FPS on an A100 (order-of-magnitude anchor;
+the reference repo publishes no official number — BASELINE.md). vs_baseline is
+measured_fps / 100.
+
+Prints exactly one JSON line. Falls back through pallas → tiled backends and
+reports which one ran.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_scene(n=200_000, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from g4splat_tpu.models.gaussians import GaussianScene
+
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 5)
+    # Room-like shell: points on walls/floor plus interior clutter.
+    xyz = jax.random.uniform(ks[0], (n, 3), minval=-3.0, maxval=3.0)
+    wall = jax.random.randint(ks[1], (n,), 0, 8)
+    xyz = jnp.where((wall[:, None] == 0), xyz.at[:, 2].set(3.0), xyz)
+    cols = jax.random.uniform(ks[2], (n, 3))
+    scales = jnp.exp(jax.random.uniform(ks[3], (n,), minval=-4.5, maxval=-3.0))
+    quats = jax.random.normal(ks[4], (n, 4))
+    return GaussianScene.from_points(
+        np.asarray(xyz), np.asarray(cols), scales=np.asarray(scales),
+        quats=np.asarray(quats), initial_opacity=0.8,
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from g4splat_tpu.core.cameras import lookat_camera
+    from g4splat_tpu.ops.rasterize import render
+
+    W, H = 768, 576
+    scene = build_scene()
+    cam = lookat_camera(
+        [0.0, 0.0, -6.5], [0, 0, 0], [0, -1, 0],
+        fx=600.0, fy=600.0, width=W, height=H,
+    )
+
+    backend_used = None
+    for backend in ("pallas", "tiled"):
+        try:
+            f = jax.jit(lambda s: render(cam, s, backend=backend)["render"])
+            img = f(scene)
+            img.block_until_ready()
+            backend_used = backend
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"# backend {backend} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    if backend_used is None:
+        print(json.dumps({"metric": "render_fps_768p_200k", "value": 0.0,
+                          "unit": "frames/s", "vs_baseline": 0.0,
+                          "error": "no backend ran"}))
+        return
+
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        img = f(scene)
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iter
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": f"render_fps_768p_200k_{backend_used}",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

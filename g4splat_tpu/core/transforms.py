@@ -16,8 +16,14 @@ import jax.numpy as jnp
 
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """L2-normalize along `axis` (safe at zero)."""
-    return v / (jnp.linalg.norm(v, axis=axis, keepdims=True) + eps)
+    """L2-normalize along `axis`, gradient-safe at zero.
+
+    `jnp.linalg.norm` has a NaN gradient at exactly 0 (d‖v‖/dv = v/‖v‖);
+    rsqrt(Σv² + eps²) is smooth everywhere and identical to machine precision
+    for non-tiny vectors."""
+    import jax
+
+    return v * jax.lax.rsqrt(jnp.sum(v * v, axis=axis, keepdims=True) + eps * eps)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:

@@ -72,7 +72,7 @@ def _morton_codes(points: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
-def mean_knn_sq_dist(points: jnp.ndarray, window: int = 64) -> jnp.ndarray:
+def mean_knn_sq_dist(points: jnp.ndarray, window: int = 128) -> jnp.ndarray:
     """Approximate (N,) mean-3NN squared distance via Morton-order windows.
 
     Each point is compared against the `2*window` points adjacent to it in

@@ -1,0 +1,110 @@
+"""Public differentiable rendering API.
+
+`render(camera, scene, …)` mirrors the reference wrapper
+(2d-gaussian-splatting/gaussian_renderer/__init__.py:19-170): one call returns
+the RGB render plus every auxiliary map the trainer's losses consume (alpha,
+world/camera normals, expected/median/surface depth, distortion, surface
+normals from depth) and densification hooks (screen radii, visibility, and the
+screen-space positional gradient via the `center_offset` zeros input).
+
+Backends:
+- "dense":  O(P·npix) oracle (tests/small scenes)          rasterize_dense.py
+- "tiled":  tile-binned pure-JAX (CPU-friendly, AD)        rasterize_tiled.py
+- "pallas": tile-binned Pallas TPU kernels (production)    rasterize_pallas.py
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from g4splat_tpu.core.cameras import Camera
+from g4splat_tpu.core.geometry import depth_to_normal
+from g4splat_tpu.models.gaussians import GaussianScene
+from g4splat_tpu.ops.rasterize_common import RenderConfig, preprocess
+
+
+def render(
+    camera: Camera,
+    scene: GaussianScene,
+    config: Optional[RenderConfig] = None,
+    center_offset: Optional[jnp.ndarray] = None,
+    override_color: Optional[jnp.ndarray] = None,
+    backend: str = "tiled",
+) -> Dict[str, jnp.ndarray]:
+    config = config or RenderConfig()
+    H, W = camera.height, camera.width
+
+    prep = preprocess(
+        camera,
+        xyz=scene.xyz,
+        scaling=scene.scaling(),
+        rotation_raw=scene.rotation_raw,
+        opacity=scene.opacity(),
+        features=scene.features(),
+        sh_degree=scene.active_sh_degree,
+        colors=override_color,
+        config=config,
+        center_offset=center_offset,
+    )
+    bg = jnp.asarray(config.bg, jnp.float32)
+
+    if backend == "dense":
+        from g4splat_tpu.ops.rasterize_dense import render_dense
+
+        out = render_dense(camera, prep, bg, near=config.near, far=config.far)
+        color = out.color.reshape(H, W, 3)
+        alpha = out.alpha.reshape(H, W)
+        normal_cam = out.normal.reshape(H, W, 3)
+        depth_acc = out.depth_acc.reshape(H, W)
+        median_depth = out.median_depth.reshape(H, W)
+        distortion = out.distortion.reshape(H, W)
+        final_T = out.final_T.reshape(H, W)
+        n_contrib = out.n_contrib.reshape(H, W)
+    elif backend == "tiled":
+        from g4splat_tpu.ops.rasterize_tiled import render_tiled
+
+        color, alpha, normal_cam, depth_acc, median_depth, distortion, final_T, n_contrib = (
+            render_tiled(camera, prep, bg, near=config.near, far=config.far)
+        )
+    elif backend == "pallas":
+        from g4splat_tpu.ops.rasterize_pallas import render_pallas
+
+        color, alpha, normal_cam, depth_acc, median_depth, distortion, final_T, n_contrib = (
+            render_pallas(camera, prep, bg, near=config.near, far=config.far)
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    # ---- post-processing identical to the reference wrapper (:117-164) ----
+    R_c2w = camera.c2w[:3, :3]
+    normal_world = normal_cam @ R_c2w.T
+
+    depth_expected = jnp.nan_to_num(depth_acc / jnp.maximum(alpha, 1e-10))
+    depth_median = jnp.nan_to_num(median_depth)
+    surf_depth = (
+        depth_expected * (1.0 - config.depth_ratio)
+        + config.depth_ratio * depth_median
+    )
+    surf_normal_world = depth_to_normal(camera, surf_depth)
+    surf_normal_world = surf_normal_world * jax.lax.stop_gradient(alpha)[..., None]
+    surf_normal_cam = surf_normal_world @ R_c2w  # world→cam rotation
+
+    return {
+        "render": color,
+        "radii": prep.radius,
+        "visibility_filter": prep.radius > 0,
+        "rend_alpha": alpha,
+        "rend_normal": normal_world,
+        "rend_normal_cam": normal_cam,
+        "rend_dist": distortion,
+        "rend_depth": depth_expected,
+        "depth_median": depth_median,
+        "surf_depth": surf_depth,
+        "surf_normal": surf_normal_world,
+        "surf_normal_cam": surf_normal_cam,
+        "final_T": final_T,
+        "n_contrib": n_contrib,
+    }

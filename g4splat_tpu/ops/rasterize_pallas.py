@@ -1,0 +1,367 @@
+"""Pallas TPU surfel rasterizer.
+
+Production forward path replacing the reference's renderCUDA
+(diff-surfel-rasterization/cuda_rasterizer/forward.cu:258-443). Same binning
+as the pure-JAX tiled backend (rasterize_tiled.bin_splats); this kernel walks
+each 16×16 tile's depth-sorted splat range in VMEM-resident chunks.
+
+TPU-shaped design decisions (vs the CUDA kernel's one-thread-per-pixel loop):
+- Entry features are pre-gathered into *transposed* (feature, entry) arrays so
+  every chunk is a contiguous, lane-aligned HBM→VMEM DMA (dim -1 = 128
+  entries), replacing CUDA's random-access global loads.
+- The per-tile working set is a (256 pixels × 128 entries) alpha matrix;
+  pixels live on sublanes, entries on lanes.
+- Transmittance prefix products and the distortion-moment prefix sums are
+  log-space *triangular matmuls* on the MXU (no cumsum primitive needed, and
+  faster than a sequential scan).
+- Color/normal accumulation is one (256×128)@(128×8) MXU matmul per chunk.
+- Early exit: a whole chunk is skipped once every pixel's transmittance is
+  below 1e-4 — the TPU analogue of the CUDA per-pixel `done` ballot.
+
+Compositing semantics match rasterize_dense.composite exactly (1/255 alpha
+cutoff, 0.99 clamp, inclusive-T early-stop, median depth at T>0.5, 2DGS
+depth-distortion moments).
+
+Gradients: `render` falls back to the differentiable tiled backend for the
+backward pass (see rasterize.py); a dedicated back-to-front Pallas backward
+kernel is the planned fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from g4splat_tpu.ops.rasterize_common import (
+    ALPHA_CLAMP,
+    ALPHA_EPS,
+    FAR_N,
+    FILTER_INV_SQUARE,
+    NEAR_N,
+    T_EPS,
+    TILE,
+    Preprocessed,
+)
+from g4splat_tpu.ops.rasterize_tiled import Binning, bin_splats
+
+NPIX = TILE * TILE          # 256 pixels per tile
+CHUNK = 128                 # splat entries per inner step (lane width)
+GEOM_F = 16                 # Tu3 Tv3 Tw3 cx cy opa (pad to 16 sublanes)
+VAL_F = 8                   # r g b nx ny nz (pad to 8)
+
+
+def _pack_entries(prep: Preprocessed, gid: jnp.ndarray, entry_valid: jnp.ndarray):
+    """Gather per-entry features for aligned entry slots, transposed to (F, E)."""
+    T = prep.T[gid]
+    opa = jnp.where(
+        entry_valid & prep.valid[gid], prep.opacity[gid], 0.0
+    )[:, None]
+    geom = jnp.concatenate(
+        [
+            T[:, 0], T[:, 1], T[:, 2],
+            prep.center[gid],
+            opa,
+            jnp.zeros((gid.shape[0], GEOM_F - 12)),
+        ],
+        axis=1,
+    )
+    vals = jnp.concatenate(
+        [
+            prep.rgb[gid],
+            prep.normal[gid],
+            jnp.zeros((gid.shape[0], VAL_F - 6)),
+        ],
+        axis=1,
+    )
+    return geom.T.astype(jnp.float32), vals.T.astype(jnp.float32)
+
+
+def _render_kernel(
+    # scalar prefetch
+    tile_start_ref, tile_count_ref, tile_xy_ref,
+    # inputs
+    geom_hbm, vals_hbm, bg_ref,
+    # outputs
+    out_vals_ref, out_aux_ref,
+    # scratch
+    geom_vmem, vals_vmem, acc_ref, aux_ref, copy_sem,
+    *, near: float, far: float, n_chunks_max: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    tile_x0 = tile_xy_ref[2 * t]
+    tile_y0 = tile_xy_ref[2 * t + 1]
+
+    # Pixel coordinates as (NPIX, 1) columns (pixels on sublanes).
+    lin = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
+    px = (tile_x0 + lin % TILE).astype(jnp.float32)
+    py = (tile_y0 + lin // TILE).astype(jnp.float32)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    aux_ref[:] = jnp.zeros_like(aux_ref)
+    aux_ref[:, 0:1] = jnp.ones((NPIX, 1), jnp.float32)  # col 0: transmittance
+
+    # Triangular scan matrices (entry j contributes to prefix at entry i).
+    rowe = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    cole = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    ut_incl = (rowe <= cole).astype(jnp.float32)   # X @ ut_incl = inclusive
+    ut_excl = (rowe < cole).astype(jnp.float32)    # X @ ut_excl = exclusive
+
+    eidx = jax.lax.broadcasted_iota(jnp.int32, (NPIX, CHUNK), 1)
+
+    # Tile ranges are arbitrary offsets into the sorted entry list; DMA from
+    # the 128-aligned floor and mask the overhanging lanes (their alpha is
+    # forced to 0, so the transmittance scans are unaffected).
+    abase0 = (start // CHUNK) * CHUNK
+    n_chunks = pl.cdiv(start + count - abase0, CHUNK)
+
+    def chunk_body(c, _):
+        T_col = aux_ref[:, 0:1]                    # (NPIX, 1)
+        live_tile = jnp.max(T_col) >= T_EPS
+
+        @pl.when(jnp.logical_and(c < n_chunks, live_tile))
+        def _():
+            base = pl.multiple_of(abase0 + c * CHUNK, CHUNK)
+            cp_g = pltpu.make_async_copy(
+                geom_hbm.at[:, pl.ds(base, CHUNK)], geom_vmem, copy_sem.at[0]
+            )
+            cp_v = pltpu.make_async_copy(
+                vals_hbm.at[:, pl.ds(base, CHUNK)], vals_vmem, copy_sem.at[1]
+            )
+            cp_g.start()
+            cp_v.start()
+            cp_g.wait()
+            cp_v.wait()
+
+            g = geom_vmem[:]                        # (GEOM_F, CHUNK)
+            gpos = abase0 + c * CHUNK + eidx        # global entry positions
+            in_count = (gpos >= start) & (gpos < start + count)
+
+            def row(i):
+                return g[i, :][None, :]             # (1, CHUNK)
+
+            Tu0, Tu1, Tu2 = row(0), row(1), row(2)
+            Tv0, Tv1, Tv2 = row(3), row(4), row(5)
+            Tw0, Tw1, Tw2 = row(6), row(7), row(8)
+            cx, cy, opa = row(9), row(10), row(11)
+
+            # k = x·Tw − Tu ; l = y·Tw − Tv → (NPIX, CHUNK) each component.
+            k0 = px * Tw0 - Tu0
+            k1 = px * Tw1 - Tu1
+            k2 = px * Tw2 - Tu2
+            l0 = py * Tw0 - Tv0
+            l1 = py * Tw1 - Tv1
+            l2 = py * Tw2 - Tv2
+            p0 = k1 * l2 - k2 * l1
+            p1 = k2 * l0 - k0 * l2
+            p2 = k0 * l1 - k1 * l0
+            pz_ok = jnp.abs(p2) >= 1e-20
+            safe = jnp.where(pz_ok, p2, 1.0)
+            su = jnp.clip(p0 / safe, -3e4, 3e4)
+            sv = jnp.clip(p1 / safe, -3e4, 3e4)
+            rho3d = su * su + sv * sv
+            dx = cx - px
+            dy = cy - py
+            rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+            use3d = rho3d <= rho2d
+            rho = jnp.minimum(rho3d, rho2d)
+            z = jnp.where(use3d, su * Tw0 + sv * Tw1 + Tw2, Tw2)
+            alpha = jnp.minimum(ALPHA_CLAMP, opa * jnp.exp(-0.5 * rho))
+            live = pz_ok & (z >= near) & (alpha >= ALPHA_EPS) & in_count
+            alpha = jnp.where(live, alpha, 0.0)
+
+            # Transmittance prefix products via log-space triangular matmuls.
+            log_om = jnp.log1p(-alpha)
+            cum_incl = jnp.dot(log_om, ut_incl,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            T_incl = T_col * jnp.exp(cum_incl)
+            skip = T_incl < T_EPS
+            alpha_eff = jnp.where(skip, 0.0, alpha)
+            log_om_eff = jnp.log1p(-alpha_eff)
+            cum_excl = jnp.dot(log_om_eff, ut_excl,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            T_excl = T_col * jnp.exp(cum_excl)
+            w = alpha_eff * T_excl                   # (NPIX, CHUNK)
+
+            # MXU accumulation: (NPIX, CHUNK) @ (CHUNK, VAL_F).
+            acc_ref[:, :] += jax.lax.dot_general(
+                w, vals_vmem[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+            # Distortion moments (2DGS appendix; forward.cu:392-400).
+            m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
+            mw = m * w
+            m2w = m * m * w
+            cs_mw = jnp.dot(mw, ut_excl, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            cs_m2w = jnp.dot(m2w, ut_excl, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+            M1_col = aux_ref[:, 2:3]
+            M2_col = aux_ref[:, 3:4]
+            A = 1.0 - T_excl
+            dist_add = jnp.sum(
+                (m * m * A + (M2_col + cs_m2w) - 2.0 * m * (M1_col + cs_mw)) * w,
+                axis=1, keepdims=True,
+            )
+            aux_ref[:, 1:2] += jnp.sum(w * z, axis=1, keepdims=True)
+            aux_ref[:, 4:5] += dist_add
+            aux_ref[:, 2:3] += jnp.sum(mw, axis=1, keepdims=True)
+            aux_ref[:, 3:4] += jnp.sum(m2w, axis=1, keepdims=True)
+
+            # Median depth: last entry with incoming T > 0.5.
+            contrib = alpha_eff > 0.0
+            med_mask = (T_excl > 0.5) & contrib
+            best = jnp.max(jnp.where(med_mask, eidx, -1), axis=1, keepdims=True)
+            z_at_best = jnp.sum(
+                jnp.where(eidx == best, z, 0.0), axis=1, keepdims=True
+            )
+            aux_ref[:, 5:6] = jnp.where(best >= 0, z_at_best, aux_ref[:, 5:6])
+
+            # n_contrib (1-based global index of last contributor).
+            lastc = jnp.max(
+                jnp.where(contrib, gpos - start + 1, 0),
+                axis=1, keepdims=True,
+            ).astype(jnp.float32)
+            aux_ref[:, 6:7] = jnp.maximum(aux_ref[:, 6:7], lastc)
+
+            # Carry transmittance (inclusive product of effective alphas).
+            aux_ref[:, 0:1] = T_col * jnp.exp(
+                cum_excl[:, CHUNK - 1 : CHUNK]
+                + log_om_eff[:, CHUNK - 1 : CHUNK]
+            )
+
+        return 0
+
+    # Traced per-tile bound: a tile only walks its own chunks (the CUDA
+    # kernel's `rounds`); n_chunks_max is just the padding-safe ceiling.
+    jax.lax.fori_loop(0, jnp.minimum(n_chunks, n_chunks_max), chunk_body, 0)
+
+    T_fin = aux_ref[:, 0:1]
+    bg = bg_ref[0:1, :]                               # (1, VAL_F)
+    out_vals_ref[0] = acc_ref[:] + T_fin * bg
+    out_aux_ref[0] = jnp.concatenate(
+        [
+            aux_ref[:, 1:2],            # 0: depth accum
+            1.0 - T_fin,                # 1: alpha
+            aux_ref[:, 4:5],            # 2: distortion
+            aux_ref[:, 5:6],            # 3: median depth
+            T_fin,                      # 4: final T
+            aux_ref[:, 6:7],            # 5: n_contrib
+            aux_ref[:, 2:3],            # 6: M1
+            aux_ref[:, 3:4],            # 7: M2
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "near", "far", "n_chunks_max"),
+)
+def _rasterize_tiles_pallas(
+    geom: jnp.ndarray,        # (GEOM_F, E) sorted, E multiple of CHUNK
+    vals: jnp.ndarray,        # (VAL_F, E)
+    tile_start: jnp.ndarray,  # (n_tiles,)
+    tile_count: jnp.ndarray,  # (n_tiles,)
+    bg: jnp.ndarray,          # (3,)
+    width: int,
+    height: int,
+    near: float,
+    far: float,
+    n_chunks_max: int,
+):
+    gx = (width + TILE - 1) // TILE
+    gy = (height + TILE - 1) // TILE
+    n_tiles = gx * gy
+    tx = (jnp.arange(n_tiles, dtype=jnp.int32) % gx) * TILE
+    ty = (jnp.arange(n_tiles, dtype=jnp.int32) // gx) * TILE
+    tile_xy = jnp.stack([tx, ty], axis=1).reshape(-1)
+    bg_pad = jnp.zeros((1, VAL_F), jnp.float32).at[0, :3].set(bg)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, NPIX, VAL_F), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NPIX, 8), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((GEOM_F, CHUNK), jnp.float32),
+            pltpu.VMEM((VAL_F, CHUNK), jnp.float32),
+            pltpu.VMEM((NPIX, VAL_F), jnp.float32),
+            pltpu.VMEM((NPIX, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out_vals, out_aux = pl.pallas_call(
+        functools.partial(
+            _render_kernel, near=near, far=far, n_chunks_max=n_chunks_max
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, NPIX, VAL_F), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, NPIX, 8), jnp.float32),
+        ],
+    )(tile_start, tile_count, tile_xy, geom, vals, bg_pad)
+    return out_vals, out_aux
+
+
+def _assemble(flat: jnp.ndarray, gx: int, gy: int, width: int, height: int):
+    """(n_tiles, NPIX[, C]) → (H, W[, C])."""
+    ch = flat.shape[2:] if flat.ndim > 2 else ()
+    img = flat.reshape((gy, gx, TILE, TILE) + ch)
+    img = jnp.moveaxis(img, 2, 1).reshape((gy * TILE, gx * TILE) + ch)
+    return img[:height, :width]
+
+
+def render_pallas(
+    camera,
+    prep: Preprocessed,
+    bg: jnp.ndarray,
+    near: float = NEAR_N,
+    far: float = FAR_N,
+    buf_size: int | None = None,
+) -> Tuple[jnp.ndarray, ...]:
+    width, height = camera.width, camera.height
+    gx = (width + TILE - 1) // TILE
+    gy = (height + TILE - 1) // TILE
+    binning = bin_splats(prep, width, height, buf_size=buf_size)
+    n_tiles = gx * gy
+    entry_valid = binning.tile_id < n_tiles
+    geom, vals = _pack_entries(prep, binning.gauss_id, entry_valid)
+    pad = (-geom.shape[1]) % CHUNK
+    if pad:
+        geom = jnp.pad(geom, ((0, 0), (0, pad)))
+        vals = jnp.pad(vals, ((0, 0), (0, pad)))
+    n_chunks_max = geom.shape[1] // CHUNK
+    out_vals, out_aux = _rasterize_tiles_pallas(
+        geom, vals, binning.tile_start, binning.tile_count, bg,
+        width, height, near, far, n_chunks_max,
+    )
+    color = _assemble(out_vals[..., 0:3], gx, gy, width, height)
+    normal = _assemble(out_vals[..., 3:6], gx, gy, width, height)
+    depth_acc = _assemble(out_aux[..., 0], gx, gy, width, height)
+    alpha = _assemble(out_aux[..., 1], gx, gy, width, height)
+    dist = _assemble(out_aux[..., 2], gx, gy, width, height)
+    med = _assemble(out_aux[..., 3], gx, gy, width, height)
+    final_T = _assemble(out_aux[..., 4], gx, gy, width, height)
+    n_contrib = _assemble(out_aux[..., 5], gx, gy, width, height).astype(jnp.int32)
+    return color, alpha, normal, depth_acc, med, dist, final_T, n_contrib

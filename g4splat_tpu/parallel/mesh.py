@@ -1,0 +1,112 @@
+"""Device-mesh parallelism.
+
+The reference pipeline is strictly single-GPU (SURVEY §2.5); its only
+distributed code is vendored NCCL DDP in unused trainer stacks. Here
+parallelism is first-class and TPU-native: a named `jax.sharding.Mesh` with
+
+- ``data``  — cameras/views/pairs (the embarrassingly-parallel axis of every
+  stage: GS training batches, prior-model inference over views, MASt3R pairs,
+  TSDF view integration),
+- ``model`` — optional second axis for sharding large prior models or the
+  splat buffer itself.
+
+Collectives are XLA-compiled (psum over ICI) via shard_map; a single device is
+the degenerate 1×1 mesh, so every code path is identical on one chip and on a
+v5e-8 slice. Multi-host extends the same mesh over DCN via
+`jax.distributed.initialize` (no code change here).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n_data = n_data or (len(devices) // n_model)
+    dev = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev, axis_names=("data", "model"))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Shard leading axis of every leaf over the `data` axis."""
+    def put(x):
+        spec = P("data") if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree.map(put, tree)
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree
+    )
+
+
+def data_parallel_train_step(mesh: Mesh, cfg, optimizer):
+    """Build a pjit'd data-parallel 2DGS training step.
+
+    The camera/view batch is sharded over `data`; the Gaussian scene and
+    optimizer state are replicated; per-device gradients are `psum`-averaged
+    over ICI before the (identical) optax update — classic DP, expressed as
+    shard_map + XLA collectives instead of the reference's NCCL DDP
+    (dust3r/training.py:152, croco/utils/misc.py:222-243).
+    """
+    from g4splat_tpu.train.trainer import (
+        compute_losses,
+        scene_params,
+        with_params,
+    )
+    import optax
+
+    def step(scene, opt_state, cameras, views, iteration, key):
+        params = scene_params(scene)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P(), P()),
+            out_specs=(P(), P()),
+        )
+        def grads_of_shard(params, cams, views_shard, iteration, key):
+            def loss_fn(params):
+                s = with_params(scene, params)
+                B = views_shard["image"].shape[0]
+                offset = jnp.zeros((s.capacity, 2))
+
+                def one(i, acc):
+                    cam = jax.tree.map(lambda x: x[i], cams)
+                    view = jax.tree.map(lambda x: x[i] if x.ndim else x,
+                                        views_shard)
+                    l, _ = compute_losses(
+                        s, cam, view, cfg, iteration,
+                        jax.random.fold_in(key, i), offset,
+                    )
+                    return acc + l
+
+                # Varying-zero init so the scan carry matches the body's
+                # device-varying type under shard_map.
+                acc0 = jnp.sum(views_shard["image"][..., :1]) * 0.0
+                total = jax.lax.fori_loop(0, B, one, acc0) / B
+                return total
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            g = jax.lax.pmean(g, "data")
+            loss = jax.lax.pmean(loss, "data")
+            return loss, g
+
+        loss, grads = grads_of_shard(params, cameras, views, iteration, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return with_params(scene, params), opt_state, loss
+
+    return jax.jit(step)

