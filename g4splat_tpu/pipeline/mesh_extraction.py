@@ -1,0 +1,238 @@
+"""Gaussian-adaptive tetrahedral mesh extraction.
+
+Re-build of the reference's marching-tetrahedra-with-binary-search pipeline
+(2d-gaussian-splatting/extract_mesh_adaptive_tsdf.py:219-383 +
+scripts/extract_tetra_mesh.py), restructured for TPU:
+
+  tetra candidate points from splats (8 corners + center, gaussian_model.py:
+  318-382) → host Delaunay → render every view ONCE and cache the depth/rgb/
+  normal maps on device → adaptive-TSDF evaluation at the tetra vertices →
+  marching tetrahedra → 8-step binary search re-evaluating the TSDF at edge
+  midpoints → vertex colors from SH-degree-0 renders.
+
+Key departure: the reference re-renders all views inside *every* TSDF
+evaluation (9× total — extract_mesh_adaptive_tsdf.py:293-351); since the
+scene is frozen during extraction we render once and reuse the cached maps
+for all evaluations, which removes ~90% of the render cost with identical
+results. TSDF evaluation streams point chunks through one jitted lax.scan
+over the cached view maps (ops/tsdf.py).
+
+Defaults follow configs/adaptive_tetrahedralization/default.yaml
+(gaussian_flatness 2e-4, depth_ratio 1.0, truncation_margin 0.005·extent).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from g4splat_tpu.core.cameras import Camera
+from g4splat_tpu.models.gaussians import GaussianScene
+from g4splat_tpu.ops.rasterize import render
+from g4splat_tpu.ops.rasterize_common import RenderConfig
+from g4splat_tpu.ops.tetra import delaunay_tetrahedralize, marching_tetrahedra
+from g4splat_tpu.ops.tsdf import TSDFConfig, integrate_views_chunked
+
+
+@dataclass
+class MeshExtractionConfig:
+    downsample_ratio: float = 0.25
+    gaussian_flatness: float = 2e-4
+    depth_ratio: float = 1.0
+    truncation_margin: float = 0.005        # × camera spatial extent
+    n_binary_steps: int = 8
+    interpolate_depth: bool = True
+    weight_interpolation_by_depth_gradient: bool = False
+    use_binary_opacity: bool = False
+    unbias_depth_using_normals: bool = False
+    filter_with_depth_gradient: bool = False
+    weight_by_softmax: bool = False
+    softmax_temperature: float = 1.0
+    texture_mesh: bool = True
+    backend: str = "pallas"
+    point_chunk: int = 262_144
+
+
+class ExtractedMesh(NamedTuple):
+    vertices: np.ndarray        # (V, 3)
+    faces: np.ndarray           # (F, 3)
+    vertex_colors: Optional[np.ndarray]  # (V, 3) float [0,1] or None
+
+
+def cameras_spatial_extent(cameras: Camera) -> float:
+    """Max distance of any camera center from their mean
+    (matcha/dm_scene/cameras.py:854-867)."""
+    centers = np.asarray(cameras.center)
+    avg = centers.mean(0, keepdims=True)
+    return float(np.linalg.norm(centers - avg, axis=-1).max())
+
+
+def render_all_views(scene: GaussianScene, cameras: Camera, depth_ratio: float,
+                     backend: str = "pallas", sh_degree: Optional[int] = None):
+    """Render every camera once; returns stacked (V, H, W[,3]) maps."""
+    s = scene if sh_degree is None else scene.replace(active_sh_degree=sh_degree)
+    n = cameras.w2c.shape[0]
+    cfg = RenderConfig(bg=jnp.zeros(3), depth_ratio=depth_ratio)
+
+    rgbs, depths, surf_normals, rend_normals, alphas = [], [], [], [], []
+    for i in range(n):
+        cam = jax.tree.map(lambda x: x[i], cameras)
+        out = render(cam, s, config=cfg, backend=backend)
+        rgbs.append(out["render"])
+        depths.append(out["surf_depth"])
+        surf_normals.append(out["surf_normal"])
+        rend_normals.append(out["rend_normal"])
+        alphas.append(out["rend_alpha"])
+    return (
+        jnp.stack(rgbs), jnp.stack(depths), jnp.stack(surf_normals),
+        jnp.stack(rend_normals), jnp.stack(alphas),
+    )
+
+
+def extract_mesh_adaptive_tsdf(
+    scene: GaussianScene,
+    cameras: Camera,
+    config: MeshExtractionConfig = MeshExtractionConfig(),
+    seed: int = 0,
+) -> ExtractedMesh:
+    extent = cameras_spatial_extent(cameras)
+    trunc = config.truncation_margin * extent
+
+    # 1. Tetra candidate points + Delaunay cells (host).
+    points, point_scales = scene.tetra_points(
+        downsample_ratio=config.downsample_ratio,
+        flatness=config.gaussian_flatness * extent,
+        seed=seed,
+    )
+    cells = delaunay_tetrahedralize(points)
+
+    # 2. Render all views once (device), cache maps.
+    rgbs, depths, surf_normals, _, _ = render_all_views(
+        scene, cameras, config.depth_ratio, config.backend
+    )
+
+    tsdf_cfg = TSDFConfig(
+        trunc_margin=trunc,
+        use_binary_opacity=config.use_binary_opacity,
+        interpolate_depth=config.interpolate_depth,
+        weight_interpolation_by_depth_gradient=config.weight_interpolation_by_depth_gradient,
+        depth_gradient_threshold=0.2 * extent,
+        filter_with_depth_gradient=config.filter_with_depth_gradient,
+        depth_gradient_threshold_for_filtering=0.1 * extent,
+        unbias_depth_using_normals=config.unbias_depth_using_normals,
+        weight_by_softmax=config.weight_by_softmax,
+        softmax_temperature=config.softmax_temperature,
+    )
+
+    def eval_tsdf(pts):
+        return integrate_views_chunked(
+            pts, cameras, rgbs, depths, tsdf_cfg,
+            normals=surf_normals if config.unbias_depth_using_normals else None,
+            chunk=config.point_chunk,
+        )
+
+    # 3. TSDF at tetra vertices → marching tetrahedra.
+    out0 = eval_tsdf(points)
+    mt = marching_tetrahedra(points, cells, out0.tsdf, point_scales)
+
+    left = mt.edge_verts[:, 0].copy()
+    right = mt.edge_verts[:, 1].copy()
+    left_sdf = mt.edge_sdf[:, 0].copy()
+
+    # 4. Binary search along crossing edges, re-evaluating the true TSDF
+    # (extract_mesh_adaptive_tsdf.py:328-351).
+    for _ in range(config.n_binary_steps):
+        mid = (left + right) / 2.0
+        mid_sdf = eval_tsdf(mid).tsdf
+        same_side = ((mid_sdf < 0) & (left_sdf < 0)) | (
+            (mid_sdf > 0) & (left_sdf > 0)
+        )
+        left = np.where(same_side[:, None], mid, left)
+        left_sdf = np.where(same_side, mid_sdf, left_sdf)
+        right = np.where(same_side[:, None], right, mid)
+    verts = (left + right) / 2.0
+
+    # 5. Vertex colors from SH-degree-0 renders (:353-364).
+    colors = None
+    if config.texture_mesh:
+        rgbs0, depths0, _, _, _ = render_all_views(
+            scene, cameras, config.depth_ratio, config.backend, sh_degree=0
+        )
+        colors = np.clip(
+            eval_tsdf_colors(verts, cameras, rgbs0, depths0, tsdf_cfg,
+                             config.point_chunk),
+            0.0, 1.0,
+        )
+    return ExtractedMesh(verts.astype(np.float32), mt.faces, colors)
+
+
+def eval_tsdf_colors(pts, cameras, rgbs, depths, tsdf_cfg, chunk):
+    out = integrate_views_chunked(pts, cameras, rgbs, depths, tsdf_cfg,
+                                  chunk=chunk)
+    return out.colors
+
+
+def extract_mesh_grid_tsdf(
+    scene: GaussianScene,
+    cameras: Camera,
+    resolution: int = 128,
+    depth_ratio: float = 1.0,
+    trunc_voxels: float = 4.0,
+    backend: str = "pallas",
+    bounds: Optional[np.ndarray] = None,
+    point_chunk: int = 262_144,
+    carve_empty: bool = False,
+) -> ExtractedMesh:
+    """Uniform voxel-grid TSDF fusion + marching tetrahedra — the multires
+    open3d-TSDF fallback path (render_multires.py:97-206, utils/
+    mesh_utils.py:140-184) without open3d: the cube grid is split into 6 tets
+    per cell and reuses the same marching-tetra + TSDF machinery."""
+    from g4splat_tpu.ops.tetra import cube_grid_to_tets
+
+    if bounds is None:
+        alive = np.asarray(scene.alive)
+        pts = np.asarray(scene.xyz)[alive]
+        lo = pts.min(0) - 0.05 * (pts.max(0) - pts.min(0))
+        hi = pts.max(0) + 0.05 * (pts.max(0) - pts.min(0))
+    else:
+        lo, hi = np.asarray(bounds[0]), np.asarray(bounds[1])
+
+    xs = np.linspace(lo[0], hi[0], resolution)
+    ys = np.linspace(lo[1], hi[1], resolution)
+    zs = np.linspace(lo[2], hi[2], resolution)
+    grid = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1)
+    points = grid.reshape(-1, 3).astype(np.float32)
+    voxel = float((hi - lo).max() / (resolution - 1))
+    _, tets = cube_grid_to_tets((resolution, resolution, resolution))
+
+    rgbs, depths, _, _, alphas = render_all_views(
+        scene, cameras, depth_ratio, backend
+    )
+    if carve_empty:
+        # Background pixels render depth≈0 and would leave free space
+        # "unobserved" (a phantom shell at the silhouette boundary); treat
+        # them as far-away surface so empty space is carved out.
+        far = 10.0 * float(np.linalg.norm(hi - lo))
+        depths = jnp.where(alphas > 0.05, depths, far)
+    tsdf_cfg = TSDFConfig(trunc_margin=trunc_voxels * voxel)
+    out = integrate_views_chunked(points, cameras, rgbs, depths, tsdf_cfg,
+                                  chunk=point_chunk)
+    # Unobserved points stay at init -1 (outside) — that's the open3d
+    # convention too; marching tetra then closes the volume at the boundary.
+    mt = marching_tetrahedra(points, tets, out.tsdf,
+                             np.full(len(points), voxel, np.float32))
+    # Linear interpolation along crossing edges (grid path skips the binary
+    # search: the field is already dense).
+    s0 = np.abs(mt.edge_sdf[:, 0])
+    s1 = np.abs(mt.edge_sdf[:, 1])
+    w = (s0 / np.maximum(s0 + s1, 1e-12))[:, None]
+    verts = mt.edge_verts[:, 0] * (1 - w) + mt.edge_verts[:, 1] * w
+    colors = np.clip(
+        eval_tsdf_colors(verts, cameras, rgbs, depths, tsdf_cfg, point_chunk),
+        0, 1,
+    )
+    return ExtractedMesh(verts.astype(np.float32), mt.faces, colors)

@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g4splat_tpu.core.cameras import lookat_camera, stack_cameras
+from g4splat_tpu.pipeline.chart_alignment import (
+    ChartAlignConfig,
+    align_charts,
+    build_matches,
+    forward_deformation,
+    grid_sample_bilinear,
+    init_params,
+    build_state,
+    save_charts_data,
+    load_charts_data,
+    view_depths,
+)
+
+
+def make_problem(V=2, H=24, W=32, seed=0):
+    """Two cameras looking at a tilted plane; GT depths analytic; init depths
+    corrupted by a smooth low-frequency bump."""
+    cams = []
+    for i in range(V):
+        ang = (i - (V - 1) / 2) * 0.25
+        cams.append(
+            lookat_camera([2.0 * np.sin(ang), 0.1, -2.0 * np.cos(ang)],
+                          [0, 0, 0], [0, -1, 0], fx=30.0, fy=30.0,
+                          width=W, height=H)
+        )
+    cameras = stack_cameras(cams)
+
+    # GT surface: plane z = 0.2*x - 0.1*y (world); compute GT depth per view
+    # by ray-plane intersection.
+    def gt_depth(cam):
+        origin, dirs = cam.pixel_rays()
+        # plane: z - 0.2x + 0.1y = 0 → n·p = 0 with n = (-0.2, 0.1, 1)
+        n = jnp.array([-0.2, 0.1, 1.0])
+        t = -(origin @ n) / (dirs @ n)
+        return t  # view-z depth since dirs have unit view-z
+
+    depths_gt = jnp.stack([gt_depth(jax.tree.map(lambda x: x[i], cameras))
+                           for i in range(V)])
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    bump = 0.15 * np.sin(2 * np.pi * xs / W) * np.cos(np.pi * ys / H)
+    depths_init = depths_gt + jnp.asarray(bump)[None]
+    return cameras, depths_init, depths_gt
+
+
+class TestComponents:
+    def test_grid_sample_center(self):
+        g = jnp.arange(12.0).reshape(3, 4, 1)
+        # uv=(0,0) is the image center with align_corners=False.
+        v = grid_sample_bilinear(g, jnp.array([0.0, 0.0]))
+        assert float(v[0]) == pytest.approx(5.5)
+
+    def test_deformation_zero_at_init_is_small(self):
+        cameras, depths_init, _ = make_problem()
+        cfg = ChartAlignConfig(n_iterations=1)
+        state = build_state(cameras, depths_init, extent=1.0, cfg=cfg)
+        params = init_params(jax.random.PRNGKey(0), 2, 24, 32, cfg)
+        verts = forward_deformation(params, state, cfg)
+        # Init encodings ~1e-4 → small (bias-driven) deformation, well under
+        # the deformation radius (= extent = 1 here).
+        d = jnp.linalg.norm(verts - state.verts0, axis=-1)
+        assert float(d.max()) < 0.15
+        # view_depths of undeformed verts == input depths.
+        dd = view_depths(cameras, state.verts0)
+        np.testing.assert_allclose(np.asarray(dd), np.asarray(depths_init),
+                                   atol=1e-4)
+
+    def test_matcher_self_matches(self):
+        cameras, _, depths_gt = make_problem()
+        matches, ref_pts, true_depth = build_matches(cameras, depths_gt, 0.05)
+        V, H, W = depths_gt.shape
+        m = np.asarray(matches).reshape(V, V, H * W)
+        # Chart i's own points always match in view i.
+        for i in range(V):
+            assert m[i, i].mean() > 0.99
+        # Cross-chart matches exist (same GT surface).
+        assert m[0, 1].mean() > 0.3
+
+
+class TestAlignment:
+    def test_alignment_reduces_depth_error(self):
+        cameras, depths_init, depths_gt = make_problem()
+        # Reference supervision: sparse GT depth samples (20% of pixels).
+        rng = np.random.RandomState(0)
+        mask = jnp.asarray(rng.rand(2, 24, 32) < 0.2)
+        ref = jnp.where(mask, depths_gt, 0.0)
+        cfg = ChartAlignConfig(n_iterations=300, use_matching_loss=True)
+        res = align_charts(
+            cameras, depths_init, ref, reference_masks=mask,
+            extent=1.0, cfg=cfg,
+        )
+        err_before = np.abs(np.asarray(depths_init) - np.asarray(depths_gt)).mean()
+        err_after = np.abs(res.depths - np.asarray(depths_gt)).mean()
+        assert err_after < 0.5 * err_before, (err_before, err_after)
+        assert res.confs.min() >= 1.0  # confidence = 1 + exp(·) > 1
+
+    def test_charts_data_roundtrip(self, tmp_path):
+        cameras, depths_init, depths_gt = make_problem()
+        cfg = ChartAlignConfig(n_iterations=5, use_matching_loss=False)
+        res = align_charts(cameras, depths_init, depths_gt, extent=1.0, cfg=cfg)
+        p = str(tmp_path / "charts_data.npz")
+        save_charts_data(p, res, scale_factor=2.5)
+        d = load_charts_data(p)
+        assert set(d) == {"prior_depths", "depths", "pts", "confs",
+                          "scale_factor"}
+        assert float(d["scale_factor"]) == 2.5
+        np.testing.assert_allclose(d["depths"], res.depths)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
