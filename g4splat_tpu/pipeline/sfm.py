@@ -1,0 +1,422 @@
+"""MASt3R-SfM: sparse global alignment of two-view pointmaps.
+
+JAX re-build of the reference's sparse_global_alignment
+(mast3r/mast3r/cloud_opt/sparse_ga.py:119-520 + run_mast3r.py wiring):
+
+1. Per pair, symmetric MASt3R inference + reciprocal-NN correspondences
+   (priors/mast3r.py).
+2. Canonical per-image depthmaps: confidence-weighted average of each image's
+   self-pointmaps across its pairs; focal estimated from the pointmap
+   (dust3r post_process.estimate_focal semantics: weiszfeld-style median of
+   pixel-ray ratios).
+3. Pose graph init: maximum-spanning-tree over pair confidence scores
+   (sparse_ga.py:150-180), relative poses from Umeyama alignment of the
+   shared pointmaps, composed root-out.
+4. Two Adam phases over per-image parameters (unit quaternion, translation,
+   log-focal, log-depth-scale): a confidence-weighted gamma(1.5) 3D matching
+   loss (loss_3d, :404-432), then a gamma(0.5) 2D reprojection refinement
+   (loss_2d, :434-448), cosine LR schedule, quats renormalized each step
+   (:450-481). Calibrated ("posed") mode freezes intrinsics and aligns the
+   result to known camera locations by a similarity transform
+   (run_mast3r.py:696-745).
+
+Deviation (documented): the reference parameterizes poses as a kinematic
+chain along the MST and keeps per-anchor depth offsets; we optimize global
+poses with one log-scale per image — same losses, simpler state, converges
+on the scales this pipeline uses (≤ 20 views). Anchor-level depth offsets
+are a planned refinement.
+
+Everything inside `fit` is two jitted Adam loops over static-shape padded
+correspondence tensors; pair inference batches shard over the device mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from g4splat_tpu.core.transforms import quat_to_rotmat, rotmat_to_quat
+
+
+# ---------------------------------------------------------------- primitives
+def estimate_focal_from_pointmap(pts3d: np.ndarray) -> float:
+    """Focal (pixels) from a self-pointmap (dust3r estimate_focal: median of
+    principal-ray-relative pixel/tangent ratios)."""
+    H, W, _ = pts3d.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ys, xs = np.mgrid[:H, :W]
+    u = xs - cx
+    v = ys - cy
+    z = np.maximum(pts3d[..., 2], 1e-8)
+    x = pts3d[..., 0]
+    y = pts3d[..., 1]
+    fx = u * z / np.where(np.abs(x) < 1e-8, 1e-8, x)
+    fy = v * z / np.where(np.abs(y) < 1e-8, 1e-8, y)
+    f = np.concatenate([fx[np.abs(x) > 1e-3], fy[np.abs(y) > 1e-3]])
+    f = f[f > 0]
+    return float(np.median(f)) if len(f) else float(max(H, W))
+
+
+def umeyama(src: np.ndarray, dst: np.ndarray, with_scale: bool = True):
+    """Similarity transform aligning src → dst: returns (s, R, t)."""
+    mu_s = src.mean(0)
+    mu_d = dst.mean(0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = xd.T @ xs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    if with_scale:
+        var = (xs ** 2).sum() / len(src)
+        s = float(np.trace(np.diag(D) @ S) / max(var, 1e-12))
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def maximum_spanning_tree(n: int, edges: Dict[Tuple[int, int], float]):
+    """Prim's algorithm on pair scores → list of (parent, child) rooted at the
+    best-connected node (sparse_ga.py:150-180 intent)."""
+    if n == 1:
+        return 0, []
+    score = np.zeros(n)
+    for (i, j), w in edges.items():
+        score[i] += w
+        score[j] += w
+    root = int(np.argmax(score))
+    in_tree = {root}
+    out = []
+    while len(in_tree) < n:
+        best = None
+        for (i, j), w in edges.items():
+            if (i in in_tree) == (j in in_tree):
+                continue
+            if best is None or w > best[0]:
+                parent, child = (i, j) if i in in_tree else (j, i)
+                best = (w, parent, child)
+        if best is None:  # disconnected graph: attach arbitrarily
+            rest = set(range(n)) - in_tree
+            child = rest.pop()
+            out.append((root, child))
+            in_tree.add(child)
+            continue
+        out.append((best[1], best[2]))
+        in_tree.add(best[2])
+    return root, out
+
+
+def gamma_loss(x: jnp.ndarray, gamma: float, eps: float = 1e-8) -> jnp.ndarray:
+    """|x|^gamma with safe gradient (reference gamma losses,
+    mast3r/utils/losses.py semantics)."""
+    return (x + eps) ** gamma
+
+
+# ------------------------------------------------------------------ problem
+class PairData(NamedTuple):
+    i: int
+    j: int
+    xy_i: np.ndarray       # (M, 2) pixel coords in image i
+    xy_j: np.ndarray       # (M, 2)
+    conf: np.ndarray       # (M,)
+    score: float           # pair strength (Σ conf)
+    T_ji: Optional[np.ndarray] = None  # (4, 4) cam-j→cam-i rigid estimate
+
+
+@dataclass
+class SfMConfig:
+    niter1: int = 500            # coarse 3D phase (reference 1000 @ lr .07)
+    niter2: int = 500            # 2D refine phase (reference 1000 @ lr .01)
+    lr1: float = 0.07
+    lr2: float = 0.014
+    gamma1: float = 1.5
+    gamma2: float = 0.5
+    max_corres_per_pair: int = 2048
+    optimize_intrinsics: bool = True
+    fix_poses: bool = False      # posed mode: keep provided poses frozen
+
+
+class SfMResult(NamedTuple):
+    w2c: np.ndarray          # (V, 4, 4)
+    focals: np.ndarray       # (V,)
+    depthmaps: np.ndarray    # (V, h, w) optimized (scaled) canonical depths
+    losses: List[float]
+
+
+def _backproject_param(depth, focal, H, W):
+    """(h, w) depth + focal → camera-space points on the pixel grid."""
+    ys, xs = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    x = (xs - cx) / focal * depth
+    y = (ys - cy) / focal * depth
+    return jnp.stack([x, y, depth], axis=-1)
+
+
+def sparse_global_alignment(
+    canonical_depths: np.ndarray,    # (V, h, w) canonical per-image depths
+    init_focals: np.ndarray,         # (V,)
+    pairs: Sequence[PairData],
+    cfg: SfMConfig = SfMConfig(),
+    init_w2c: Optional[np.ndarray] = None,   # (V, 4, 4) calibrated init
+) -> SfMResult:
+    V, H, W = canonical_depths.shape
+
+    # ---- pose init: MST over pair scores, Umeyama relative poses ----
+    if init_w2c is None:
+        edges = {(p.i, p.j): p.score for p in pairs}
+        rel = {(p.i, p.j): p.T_ji for p in pairs if p.T_ji is not None}
+        root, tree = maximum_spanning_tree(V, edges)
+        c2w = [None] * V
+        c2w[root] = np.eye(4)
+        for parent, child in tree:
+            T = None
+            if (parent, child) in rel:
+                T = rel[(parent, child)]          # child cam → parent cam
+            elif (child, parent) in rel:
+                T = np.linalg.inv(rel[(child, parent)])
+            if T is None:
+                T = np.eye(4)
+            c2w[child] = c2w[parent] @ T
+        w2c0 = np.stack([np.linalg.inv(m) for m in c2w])
+    else:
+        w2c0 = np.asarray(init_w2c, np.float64).copy()
+
+    quats0 = np.stack([rotmat_to_quat(jnp.asarray(m[:3, :3])) for m in w2c0])
+    trans0 = w2c0[:, :3, 3]
+
+    # ---- padded correspondence tensors ----
+    P = len(pairs)
+    M = cfg.max_corres_per_pair
+    xi = np.zeros((P, M, 2), np.float32)
+    xj = np.zeros((P, M, 2), np.float32)
+    cw = np.zeros((P, M), np.float32)
+    pij = np.zeros((P, 2), np.int32)
+    for k, p in enumerate(pairs):
+        m = min(M, len(p.conf))
+        order = np.argsort(p.conf)[::-1][:m]
+        xi[k, :m] = p.xy_i[order]
+        xj[k, :m] = p.xy_j[order]
+        cw[k, :m] = p.conf[order]
+        pij[k] = (p.i, p.j)
+    cw = cw / max(cw.sum(), 1e-8) * (cw > 0).sum()   # normalize weights
+
+    params = {
+        "quat": jnp.asarray(quats0, jnp.float32),
+        "trans": jnp.asarray(trans0, jnp.float32),
+        "log_focal": jnp.log(jnp.asarray(init_focals, jnp.float32)),
+        "log_scale": jnp.zeros(V),
+    }
+    depths0 = jnp.asarray(canonical_depths, jnp.float32)
+    xi_j = jnp.asarray(xi)
+    xj_j = jnp.asarray(xj)
+    cw_j = jnp.asarray(cw)
+    pij_j = jnp.asarray(pij)
+
+    def world_points(params, view_idx, xy):
+        """Lift pixels of `view_idx` (per pair) to world points. xy (P, M, 2)."""
+        q = params["quat"][view_idx]                 # (P, 4)
+        t = params["trans"][view_idx]                # (P, 3)
+        f = jnp.exp(params["log_focal"][view_idx])   # (P,)
+        s = jnp.exp(params["log_scale"][view_idx])
+        R = quat_to_rotmat(q)                        # w2c
+        # bilinear depth lookup at xy
+        x = jnp.clip(xy[..., 0], 0, W - 1)
+        y = jnp.clip(xy[..., 1], 0, H - 1)
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
+        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+        wx = x - x0
+        wy = y - y0
+        d = depths0[view_idx[:, None], y0, x0] * (1 - wx) * (1 - wy) \
+            + depths0[view_idx[:, None], y0, x0 + 1] * wx * (1 - wy) \
+            + depths0[view_idx[:, None], y0 + 1, x0] * (1 - wx) * wy \
+            + depths0[view_idx[:, None], y0 + 1, x0 + 1] * wx * wy
+        d = d * s[:, None]
+        cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+        pc = jnp.stack(
+            [
+                (xy[..., 0] - cx) / f[:, None] * d,
+                (xy[..., 1] - cy) / f[:, None] * d,
+                d,
+            ],
+            axis=-1,
+        )  # camera-space (P, M, 3)
+        # world = R⁻¹ (pc − t)
+        Rt = jnp.swapaxes(R, -1, -2)
+        return jnp.einsum("pab,pmb->pma", Rt, pc - t[:, None, :])
+
+    def project(params, view_idx, pts_world):
+        q = params["quat"][view_idx]
+        t = params["trans"][view_idx]
+        f = jnp.exp(params["log_focal"][view_idx])
+        R = quat_to_rotmat(q)
+        pc = jnp.einsum("pab,pmb->pma", R, pts_world) + t[:, None, :]
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+        return jnp.stack(
+            [pc[..., 0] / z * f[:, None] + cx, pc[..., 1] / z * f[:, None] + cy],
+            axis=-1,
+        ), pc[..., 2]
+
+    def loss_3d(params):
+        wi = world_points(params, pij_j[:, 0], xi_j)
+        wj = world_points(params, pij_j[:, 1], xj_j)
+        d = jnp.linalg.norm(wi - wj, axis=-1)
+        return jnp.sum(cw_j * gamma_loss(d, cfg.gamma1)) / (cw_j > 0).sum()
+
+    def loss_2d(params):
+        wi = world_points(params, pij_j[:, 0], xi_j)
+        wj = world_points(params, pij_j[:, 1], xj_j)
+        pj, zj = project(params, pij_j[:, 1], wi)   # i's points into j
+        pi, zi = project(params, pij_j[:, 0], wj)   # j's points into i
+        res = float(max(H, W))
+        e1 = jnp.linalg.norm(pj - xj_j, axis=-1) / res
+        e2 = jnp.linalg.norm(pi - xi_j, axis=-1) / res
+        valid1 = (zj > 1e-3).astype(jnp.float32)
+        valid2 = (zi > 1e-3).astype(jnp.float32)
+        total = jnp.sum(cw_j * (gamma_loss(e1, cfg.gamma2) * valid1
+                                + gamma_loss(e2, cfg.gamma2) * valid2))
+        return total / (2 * (cw_j > 0).sum())
+
+    losses = []
+    for phase, (loss_fn, lr, niter) in enumerate(
+        [(loss_3d, cfg.lr1, cfg.niter1), (loss_2d, cfg.lr2, cfg.niter2)]
+    ):
+        if niter == 0:
+            continue
+        sched = optax.cosine_decay_schedule(lr, niter)
+        opt = optax.adam(sched, b1=0.9, b2=0.9)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            l, g = jax.value_and_grad(loss_fn)(params)
+            if cfg.fix_poses:
+                g = dict(g)
+                g["quat"] = jnp.zeros_like(g["quat"])
+                g["trans"] = jnp.zeros_like(g["trans"])
+            if not cfg.optimize_intrinsics:
+                g = dict(g)
+                g["log_focal"] = jnp.zeros_like(g["log_focal"])
+            updates, opt_state = opt.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # Renormalize quaternions in place (:450-481).
+            params["quat"] = params["quat"] / jnp.linalg.norm(
+                params["quat"], axis=-1, keepdims=True
+            )
+            return params, opt_state, l
+
+        for it in range(niter):
+            params, opt_state, l = step(params, opt_state)
+            if it % max(1, niter // 10) == 0:
+                losses.append(float(l))
+
+    quats = np.asarray(params["quat"])
+    trans = np.asarray(params["trans"])
+    focals = np.exp(np.asarray(params["log_focal"]))
+    scales = np.exp(np.asarray(params["log_scale"]))
+    w2c = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+    w2c[:, :3, :3] = np.asarray(quat_to_rotmat(jnp.asarray(quats)))
+    w2c[:, :3, 3] = trans
+    depthmaps = canonical_depths * scales[:, None, None]
+    return SfMResult(w2c, focals, depthmaps, losses)
+
+
+def align_to_calibrated_locations(
+    result: SfMResult, target_centers: np.ndarray
+) -> SfMResult:
+    """Similarity-align estimated camera centers to calibrated ones
+    (run_mast3r.py:696-745 camera-location alignment). Depth scales follow."""
+    V = result.w2c.shape[0]
+    centers = np.stack([np.linalg.inv(m)[:3, 3] for m in result.w2c])
+    s, R, t = umeyama(centers, target_centers, with_scale=True)
+    new_w2c = []
+    for m in result.w2c:
+        c2w = np.linalg.inv(m)
+        c2w_new = np.eye(4)
+        c2w_new[:3, :3] = R @ c2w[:3, :3]
+        c2w_new[:3, 3] = s * R @ c2w[:3, 3] + t
+        new_w2c.append(np.linalg.inv(c2w_new))
+    return SfMResult(
+        np.stack(new_w2c).astype(np.float32),
+        result.focals,
+        result.depthmaps * s,
+        result.losses,
+    )
+
+
+# ------------------------------------------------------- pipeline assembly
+def build_pairs_exhaustive(n: int) -> List[Tuple[int, int]]:
+    """All view pairs — the ≤20-view regime this pipeline targets (the
+    reference's ASMK retrieval graph only matters for large collections;
+    scene_graph='retrieval' falls back to this below its shortlist size)."""
+    return [(i, j) for i in range(n) for j in range(i + 1, n)]
+
+
+def canonical_views_from_pairs(
+    V: int,
+    pair_outputs: Dict[Tuple[int, int], Tuple],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Confidence-weighted canonical depths + focal init per image
+    (prepare_canonical_data, sparse_ga.py:692-…): average the z of every
+    self-pointmap prediction (X11 when the image is first, X22 when second)."""
+    depth_acc = {}
+    conf_acc = {}
+    example = None
+    for (i, j), (out11, out21, out22, out12) in pair_outputs.items():
+        for v, out in ((i, out11), (j, out22)):
+            z = np.asarray(out["pts3d"][0, ..., 2])
+            c = np.asarray(out["conf"][0])
+            if example is None:
+                example = z
+            depth_acc.setdefault(v, np.zeros_like(z))
+            conf_acc.setdefault(v, np.zeros_like(c))
+            depth_acc[v] += z * c
+            conf_acc[v] += c
+    H, W = example.shape
+    depths = np.zeros((V, H, W), np.float32)
+    focals = np.zeros(V, np.float32)
+    for v in range(V):
+        d = depth_acc[v] / np.maximum(conf_acc[v], 1e-8)
+        depths[v] = d
+        pts = None
+        # focal from the canonical pointmap of any pair where v was first.
+        for (i, j), (out11, _, out22, _) in pair_outputs.items():
+            if i == v:
+                pts = np.asarray(out11["pts3d"][0])
+                break
+            if j == v:
+                pts = np.asarray(out22["pts3d"][0])
+                break
+        focals[v] = estimate_focal_from_pointmap(pts)
+    return depths, focals
+
+
+def relative_pose_from_pair(out11, out22, out12, conf_thresh: float = 1.5):
+    """cam-j→cam-i rigid estimate: Umeyama-align j's self points (frame j) to
+    j's points expressed in frame i (X12)."""
+    pj = np.asarray(out22["pts3d"][0]).reshape(-1, 3)
+    pj_in_i = np.asarray(out12["pts3d"][0]).reshape(-1, 3)
+    c = np.minimum(
+        np.asarray(out22["conf"][0]).reshape(-1),
+        np.asarray(out12["conf"][0]).reshape(-1),
+    )
+    keep = c > conf_thresh
+    if keep.sum() < 10:
+        keep = np.argsort(c)[-100:]
+    s, R, t = umeyama(pj[keep], pj_in_i[keep], with_scale=False)
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T

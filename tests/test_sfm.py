@@ -1,0 +1,200 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g4splat_tpu.core.cameras import lookat_camera
+from g4splat_tpu.pipeline.sfm import (
+    PairData,
+    SfMConfig,
+    SfMResult,
+    align_to_calibrated_locations,
+    build_pairs_exhaustive,
+    estimate_focal_from_pointmap,
+    maximum_spanning_tree,
+    sparse_global_alignment,
+    umeyama,
+)
+from g4splat_tpu.priors.mast3r import (
+    TINY_CONFIG,
+    MASt3RModel,
+    reciprocal_nn_matches,
+)
+
+
+class TestMASt3RModel:
+    def test_tiny_forward_shapes(self):
+        model = MASt3RModel(TINY_CONFIG, init_size=32)
+        img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 48, 3))
+        out1, out2 = model.infer_pair(img, img)
+        assert out1["pts3d"].shape == (1, 32, 48, 3)
+        assert out1["conf"].shape == (1, 32, 48)
+        assert float(out1["conf"].min()) > 1.0
+        assert out1["desc"].shape == (1, 32, 48, TINY_CONFIG.local_feat_dim)
+        norms = jnp.linalg.norm(out1["desc"], axis=-1)
+        np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-4)
+
+    def test_symmetric_inference(self):
+        model = MASt3RModel(TINY_CONFIG, init_size=32)
+        i1 = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        i2 = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        out11, out21, out22, out12 = model.symmetric_inference(i1, i2)
+        # X11 from (i1,i2) must equal X22 from the flipped call with i1 first:
+        # i.e. the network is deterministic.
+        out11b, _ = model.infer_pair(i1, i2)
+        np.testing.assert_allclose(
+            np.asarray(out11["pts3d"]), np.asarray(out11b["pts3d"]), atol=1e-6
+        )
+
+    def test_reciprocal_matching_identity(self):
+        key = jax.random.PRNGKey(0)
+        d = jax.random.normal(key, (8, 10, 16))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        nn12, mutual = reciprocal_nn_matches(d, d, block=128)
+        np.testing.assert_array_equal(np.asarray(nn12), np.arange(80))
+        assert bool(mutual.all())
+
+    def test_reciprocal_matching_shifted(self):
+        key = jax.random.PRNGKey(1)
+        d = jax.random.normal(key, (4, 10, 16))
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        d2 = jnp.roll(d, 3, axis=1)  # img2 = img1 shifted by 3 columns
+        nn12, mutual = reciprocal_nn_matches(d, d2, block=128)
+        idx = np.arange(40)
+        expected = (idx // 10) * 10 + (idx + 3) % 10
+        np.testing.assert_array_equal(np.asarray(nn12), expected)
+
+
+class TestGeometry:
+    def test_umeyama_exact(self):
+        rng = np.random.RandomState(0)
+        src = rng.randn(50, 3)
+        from scipy.spatial.transform import Rotation
+        R = Rotation.random(random_state=0).as_matrix()
+        s, t = 1.7, np.array([0.3, -0.2, 1.0])
+        dst = s * src @ R.T + t
+        s2, R2, t2 = umeyama(src, dst)
+        assert s2 == pytest.approx(s, abs=1e-6)
+        np.testing.assert_allclose(R2, R, atol=1e-6)
+        np.testing.assert_allclose(t2, t, atol=1e-6)
+
+    def test_mst_chain(self):
+        edges = {(0, 1): 10.0, (1, 2): 5.0, (0, 2): 1.0}
+        root, tree = maximum_spanning_tree(3, edges)
+        assert len(tree) == 2
+        used = {tuple(sorted(e)) for e in tree}
+        assert (0, 1) in used and (1, 2) in used
+
+    def test_focal_estimation(self):
+        cam = lookat_camera([0, 0, -2], [0, 0, 0], [0, -1, 0],
+                            fx=123.0, fy=123.0, width=64, height=48)
+        depth = jnp.full((48, 64), 2.0) + 0.1 * jax.random.uniform(
+            jax.random.PRNGKey(0), (48, 64)
+        )
+        pts_cam = np.asarray(
+            cam.backproject(depth) @ np.asarray(cam.w2c[:3, :3]).T
+            + np.asarray(cam.w2c[:3, 3])
+        )
+        f = estimate_focal_from_pointmap(pts_cam)
+        assert f == pytest.approx(123.0, rel=0.02)
+
+
+def make_sfm_problem(V=4, H=32, W=40, n_pts=400, noise=0.0, seed=0):
+    rng = np.random.RandomState(seed)
+    # Scene points live exactly on the z=0 plane that also defines the
+    # canonical depth maps, so correspondences and depths are consistent.
+    pts = np.concatenate(
+        [rng.uniform(-1, 1, (n_pts, 2)), np.zeros((n_pts, 1))], 1
+    )
+    f = 40.0
+    cams = []
+    for i in range(V):
+        a = (i - (V - 1) / 2) * 0.3
+        cams.append(
+            lookat_camera([2.5 * np.sin(a), 0.2, -2.5 * np.cos(a)],
+                          [0, 0, 0], [0, -1, 0], fx=f, fy=f, width=W, height=H)
+        )
+    w2c_gt = np.stack([np.asarray(c.w2c) for c in cams])
+
+    # Canonical depths: GT plane-ish depth per view via splatting points is
+    # messy; instead use the analytic depth of the point cloud's plane z≈0:
+    depths = np.zeros((V, H, W), np.float32)
+    for i, c in enumerate(cams):
+        import jax as _jax
+        o, d = c.pixel_rays()
+        n = np.array([0, 0, 1.0])
+        t = -(np.asarray(o) @ n) / (np.asarray(d) @ n)
+        depths[i] = t
+
+    pairs = []
+    for i, j in build_pairs_exhaustive(V):
+        xyi, zi = cams[i].project(jnp.asarray(pts, jnp.float32))
+        xyj, zj = cams[j].project(jnp.asarray(pts, jnp.float32))
+        xyi = np.asarray(xyi)
+        xyj = np.asarray(xyj)
+        ok = (
+            (xyi[:, 0] > 0) & (xyi[:, 0] < W - 1)
+            & (xyi[:, 1] > 0) & (xyi[:, 1] < H - 1)
+            & (xyj[:, 0] > 0) & (xyj[:, 0] < W - 1)
+            & (xyj[:, 1] > 0) & (xyj[:, 1] < H - 1)
+        )
+        pairs.append(
+            PairData(
+                i=i, j=j,
+                xy_i=xyi[ok] + rng.randn(ok.sum(), 2) * noise,
+                xy_j=xyj[ok] + rng.randn(ok.sum(), 2) * noise,
+                conf=np.ones(ok.sum(), np.float32),
+                score=float(ok.sum()),
+                T_ji=np.asarray(cams[i].w2c @ np.linalg.inv(np.asarray(cams[j].w2c))),
+            )
+        )
+    return cams, w2c_gt, depths, np.full(V, f, np.float32), pairs, pts
+
+
+class TestSparseGA:
+    def test_gt_init_stays(self):
+        # Starting at ground truth with exact correspondences: loss ~0 and
+        # poses stay put.
+        cams, w2c_gt, depths, focals, pairs, _ = make_sfm_problem()
+        cfg = SfMConfig(niter1=50, niter2=0, lr1=1e-3)
+        res = sparse_global_alignment(depths, focals, pairs, cfg,
+                                      init_w2c=w2c_gt)
+        centers0 = np.stack([np.linalg.inv(m)[:3, 3] for m in w2c_gt])
+        centers1 = np.stack([np.linalg.inv(m)[:3, 3] for m in res.w2c])
+        assert np.abs(centers0 - centers1).max() < 0.02
+
+    def test_perturbed_poses_recover(self):
+        cams, w2c_gt, depths, focals, pairs, _ = make_sfm_problem()
+        rng = np.random.RandomState(3)
+        w2c_bad = w2c_gt.copy()
+        w2c_bad[:, :3, 3] += rng.randn(len(w2c_gt), 3) * 0.1
+        cfg = SfMConfig(niter1=400, niter2=200)
+        res = sparse_global_alignment(depths, focals, pairs, cfg,
+                                      init_w2c=w2c_bad)
+        aligned = align_to_calibrated_locations(
+            res, np.stack([np.linalg.inv(m)[:3, 3] for m in w2c_gt])
+        )
+        c_gt = np.stack([np.linalg.inv(m)[:3, 3] for m in w2c_gt])
+        c_bad = np.stack([np.linalg.inv(m)[:3, 3] for m in w2c_bad])
+        c_out = np.stack([np.linalg.inv(m)[:3, 3] for m in aligned.w2c])
+        err_bad = np.linalg.norm(c_bad - c_gt, axis=1).mean()
+        err_out = np.linalg.norm(c_out - c_gt, axis=1).mean()
+        assert err_out < 0.5 * err_bad, (err_bad, err_out)
+
+    def test_mst_pose_init(self):
+        # No init poses: MST + relative-pose chaining must place cameras
+        # roughly right (up to global gauge).
+        cams, w2c_gt, depths, focals, pairs, _ = make_sfm_problem()
+        cfg = SfMConfig(niter1=300, niter2=150)
+        res = sparse_global_alignment(depths, focals, pairs, cfg)
+        aligned = align_to_calibrated_locations(
+            res, np.stack([np.linalg.inv(m)[:3, 3] for m in w2c_gt])
+        )
+        c_gt = np.stack([np.linalg.inv(m)[:3, 3] for m in w2c_gt])
+        c_out = np.stack([np.linalg.inv(m)[:3, 3] for m in aligned.w2c])
+        err = np.linalg.norm(c_out - c_gt, axis=1).mean()
+        assert err < 0.15, err
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
