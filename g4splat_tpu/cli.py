@@ -1,0 +1,167 @@
+"""Command-line entry point with the reference `train.py` flag surface.
+
+Usage (mirrors the reference README):
+    python -m g4splat_tpu.cli -s data/scene -o output/scene \
+        --sfm_config posed --use_view_config --config_view_num 5 \
+        --select_inpaint_num 10 --tetra_downsample_ratio 0.25
+
+Input layout: `source_path/images/*.png|jpg` (+ optional COLMAP
+`source_path/sparse/0` for posed mode). Checkpoints for the prior networks
+are provided via --checkpoint_dir; absent checkpoints degrade the
+corresponding stage (documented per stage in pipeline/orchestrator.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="g4splat_tpu scene reconstruction")
+    p.add_argument("-s", "--source_path", type=str, required=True)
+    p.add_argument("-o", "--output_path", type=str, default=None)
+    p.add_argument("--n_images", type=int, default=None)
+    p.add_argument("--use_view_config", action="store_true")
+    p.add_argument("--config_view_num", type=int, default=10)
+    p.add_argument("--image_idx", type=int, nargs="*", default=None)
+    p.add_argument("--randomize_images", action="store_true")
+    p.add_argument("--dense_supervision", action="store_true")
+    p.add_argument("--use_dense_view", action="store_true")
+    p.add_argument("--use_multires_tsdf", action="store_true")
+    p.add_argument("--use_mesh_filter", action="store_true")
+    p.add_argument("--sfm_config", type=str, default="unposed",
+                   choices=["posed", "unposed"])
+    p.add_argument("--alignment_config", type=str, default="default")
+    p.add_argument("--depth_model", type=str, default="depthanythingv2")
+    p.add_argument("--depthanything_encoder", type=str, default="vitl")
+    p.add_argument("--free_gaussians_config", type=str, default="default")
+    p.add_argument("--tsdf_config", type=str, default="default")
+    p.add_argument("--tetra_config", type=str, default="default")
+    p.add_argument("--tetra_downsample_ratio", type=float, default=0.5)
+    p.add_argument("--select_inpaint_num", type=int, default=20)
+    p.add_argument("--use_downsample_gaussians", action="store_true")
+    p.add_argument("--downsample_gaussians_type", type=str, default="warp",
+                   choices=["warp", "voxel"])
+    p.add_argument("--warp_depth_error_thresh", type=float, default=0.01)
+    p.add_argument("--warp_downsample_pixel_grid_size", type=int, default=-1)
+    p.add_argument("--checkpoint_dir", type=str, default=None,
+                   help="Directory with converted prior-model checkpoints")
+    p.add_argument("--work_size", type=int, default=512)
+    p.add_argument("--iterations", type=int, default=7000)
+    p.add_argument("--render_backend", type=str, default="pallas",
+                   choices=["pallas", "tiled", "dense"])
+    return p
+
+
+def load_scene_images(source_path: str, n_images=None, image_idx=None,
+                      work_size: int = 512):
+    import jax
+    import jax.numpy as jnp
+
+    img_dir = os.path.join(source_path, "images")
+    files = sorted(
+        glob.glob(os.path.join(img_dir, "*.png"))
+        + glob.glob(os.path.join(img_dir, "*.jpg"))
+        + glob.glob(os.path.join(img_dir, "*.jpeg"))
+    )
+    if image_idx:
+        files = [files[i] for i in image_idx]
+    elif n_images:
+        files = files[:n_images]
+    from g4splat_tpu.io.images import load_image
+
+    imgs = []
+    for f in files:
+        img = load_image(f)
+        H, W = img.shape[:2]
+        s = work_size / max(H, W)
+        nh = max(16, int(round(H * s / 16)) * 16)
+        nw = max(16, int(round(W * s / 16)) * 16)
+        imgs.append(np.asarray(
+            jax.image.resize(jnp.asarray(img), (nh, nw, 3), "bilinear")
+        ))
+    return np.stack(imgs), files
+
+
+def build_priors(args):
+    """Wire prior networks from --checkpoint_dir (absent → None → the stage
+    degrades as documented)."""
+    from g4splat_tpu.pipeline.orchestrator import Priors
+
+    priors = Priors()
+    ckpt = args.checkpoint_dir
+    if ckpt:
+        da2 = os.path.join(ckpt, "depth_anything_v2.npz")
+        if os.path.exists(da2):
+            from g4splat_tpu.priors.depth_anything import DepthAnything
+
+            data = dict(np.load(da2, allow_pickle=True))
+            priors.depth_model = DepthAnything(
+                encoder=args.depthanything_encoder, params=data["params"].item()
+            )
+        m3r = os.path.join(ckpt, "mast3r.npz")
+        if os.path.exists(m3r):
+            from g4splat_tpu.priors.mast3r import MASt3RModel
+
+            data = dict(np.load(m3r, allow_pickle=True))
+            priors.mast3r = MASt3RModel(params=data["params"].item())
+    return priors
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    out = args.output_path or os.path.join(
+        "output", os.path.basename(args.source_path.rstrip("/"))
+    )
+    os.makedirs(out, exist_ok=True)
+
+    from g4splat_tpu.io import colmap as colmap_io
+    from g4splat_tpu.pipeline.orchestrator import (
+        G4SplatPipeline,
+        PipelineConfig,
+    )
+
+    images, files = load_scene_images(
+        args.source_path, args.n_images, args.image_idx, args.work_size
+    )
+    cameras = None
+    sparse_dir = os.path.join(args.source_path, "sparse", "0")
+    if args.sfm_config == "posed" and os.path.isdir(sparse_dir):
+        from g4splat_tpu.core.cameras import stack_cameras
+
+        cams, imgs_meta, _ = colmap_io.read_model(sparse_dir)
+        fw = colmap_io.to_framework_cameras(cams, imgs_meta)
+        cameras = stack_cameras([c for _, c in fw[: len(images)]])
+
+    cfg = PipelineConfig(
+        source_path=args.source_path,
+        output_path=out,
+        sfm_config=args.sfm_config,
+        alignment_config=args.alignment_config,
+        free_gaussians_config=args.free_gaussians_config,
+        tetra_downsample_ratio=args.tetra_downsample_ratio,
+        select_inpaint_num=args.select_inpaint_num,
+        use_dense_view=args.use_dense_view,
+        use_mesh_filter=args.use_mesh_filter,
+        use_multires_tsdf=args.use_multires_tsdf,
+        use_downsample_gaussians=args.use_downsample_gaussians,
+        downsample_gaussians_type=args.downsample_gaussians_type,
+        warp_depth_error_thresh=args.warp_depth_error_thresh,
+        warp_downsample_pixel_grid_size=args.warp_downsample_pixel_grid_size,
+        work_size=args.work_size,
+        train_iterations=args.iterations,
+        render_backend=args.render_backend,
+    )
+    pipeline = G4SplatPipeline(cfg, build_priors(args))
+    results = pipeline.run(images, cameras=cameras)
+    print(results)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

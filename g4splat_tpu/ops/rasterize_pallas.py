@@ -332,6 +332,116 @@ def _assemble(flat: jnp.ndarray, gx: int, gy: int, width: int, height: int):
     return img[:height, :width]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _render_pallas_diff(static, prep: Preprocessed, bg: jnp.ndarray):
+    """Differentiable wrapper: Pallas kernels forward, XLA AD of the
+    math-identical tiled path backward (recompute; a dedicated back-to-front
+    Pallas backward kernel is the planned replacement)."""
+    width, height, near, far = static
+    return _render_pallas_impl(width, height, prep, bg, near, far)
+
+
+def _render_pallas_fwd(static, prep, bg):
+    width, height, near, far = static
+    outputs, residuals = _render_pallas_impl(
+        width, height, prep, bg, near, far, return_residuals=True
+    )
+    return outputs, (prep, bg, residuals)
+
+
+def _disassemble(img: jnp.ndarray, gx: int, gy: int, width: int, height: int):
+    """(H, W[, C]) → (n_tiles, NPIX[, C]) — inverse of _assemble."""
+    ch = img.shape[2:] if img.ndim > 2 else ()
+    pad_h = gy * TILE - height
+    pad_w = gx * TILE - width
+    img = jnp.pad(img, ((0, pad_h), (0, pad_w)) + ((0, 0),) * len(ch))
+    img = img.reshape((gy, TILE, gx, TILE) + ch)
+    img = jnp.moveaxis(img, 1, 2).reshape((gy * gx, NPIX) + ch)
+    return img
+
+
+def _render_pallas_bwd(static, res, cts):
+    """Backward via the dedicated back-to-front Pallas kernel
+    (rasterize_pallas_bwd.py); per-entry gradients are scatter-added to
+    per-splat gradients of the preprocessed tensors. XLA AD continues the
+    chain from there to the raw scene parameters."""
+    from g4splat_tpu.ops.rasterize_pallas_bwd import (
+        MAX_CHUNKS_PER_TILE,
+        rasterize_backward_pallas,
+    )
+
+    width, height, near, far = static
+    prep, bg, residuals = res
+    binning, geom, vals, entry_valid, final_T = residuals
+    gid = binning.gauss_id
+    gx = (width + TILE - 1) // TILE
+    gy = (height + TILE - 1) // TILE
+    n_tiles = gx * gy
+
+    (g_color, g_alpha, g_normal, g_depth_acc, g_med, g_dist, g_finT,
+     _g_ncontrib) = cts
+
+    def f32(x, ch=None):
+        x = jnp.asarray(x, jnp.float32)
+        return x
+
+    cot = jnp.zeros((n_tiles, NPIX, 16), jnp.float32)
+    cot = cot.at[..., 0:3].set(_disassemble(f32(g_color), gx, gy, width, height))
+    cot = cot.at[..., 3:6].set(_disassemble(f32(g_normal), gx, gy, width, height))
+    cot = cot.at[..., 6].set(_disassemble(f32(g_depth_acc), gx, gy, width, height))
+    # final_T output cotangent folds into the alpha channel's gT_end with
+    # opposite sign: gT_end = bg·gC − gA + gFinT  ⇒  pass gA − gFinT.
+    cot = cot.at[..., 7].set(
+        _disassemble(f32(g_alpha) - f32(g_finT), gx, gy, width, height)
+    )
+    cot = cot.at[..., 8].set(_disassemble(f32(g_dist), gx, gy, width, height))
+    cot = cot.at[..., 9].set(_disassemble(f32(g_med), gx, gy, width, height))
+
+    dgeom, dvals = rasterize_backward_pallas(
+        geom, vals, binning.tile_start, binning.tile_count, cot, final_T,
+        jnp.asarray(bg, jnp.float32)[:3], width, height, near, far,
+    )
+
+    # Entries past the per-tile gradient-support cap never got written.
+    E = gid.shape[0]
+    pos = jnp.arange(E, dtype=jnp.int32)
+    tile_of = jnp.clip(binning.tile_id, 0, n_tiles - 1)
+    start_of = binning.tile_start[tile_of]
+    abase_of = (start_of // CHUNK) * CHUNK
+    in_support = (pos - abase_of) < MAX_CHUNKS_PER_TILE * CHUNK
+    ok = entry_valid & in_support
+    dgeom = jnp.where(ok[None, :], dgeom[:, :E], 0.0)
+    dvals = jnp.where(ok[None, :], dvals[:, :E], 0.0)
+
+    # Per-entry → per-splat: ONE combined scatter-add (the batched atomicAdd;
+    # separate 2D-indexed scatters are ~10× slower on TPU).
+    P = prep.depth.shape[0]
+    safe_gid = jnp.where(ok, gid, 0)
+    d_opa_entry = jnp.where(prep.valid[safe_gid] & ok, dgeom[11, :], 0.0)
+    d_all = jnp.concatenate(
+        [dgeom[:11, :], d_opa_entry[None], dvals[0:6, :]], axis=0
+    ).T                                            # (E, 18)
+    acc = jnp.zeros((P, 18), jnp.float32).at[safe_gid].add(d_all, mode="drop")
+
+    import numpy as np
+
+    d_prep = Preprocessed(
+        T=acc[:, 0:9].reshape(P, 3, 3),
+        center=acc[:, 9:11],
+        radius=jnp.zeros_like(prep.radius),
+        depth=jnp.zeros_like(prep.depth),
+        normal=acc[:, 15:18],
+        opacity=acc[:, 11],
+        rgb=acc[:, 12:15],
+        valid=np.zeros(prep.valid.shape, dtype=jax.dtypes.float0),
+    )
+    d_bg = jnp.zeros_like(bg)  # bg is a constant in training; cheap to skip
+    return d_prep, d_bg
+
+
+_render_pallas_diff.defvjp(_render_pallas_fwd, _render_pallas_bwd)
+
+
 def render_pallas(
     camera,
     prep: Preprocessed,
@@ -340,7 +450,21 @@ def render_pallas(
     far: float = FAR_N,
     buf_size: int | None = None,
 ) -> Tuple[jnp.ndarray, ...]:
-    width, height = camera.width, camera.height
+    return _render_pallas_diff(
+        (camera.width, camera.height, near, far), prep, bg
+    )
+
+
+def _render_pallas_impl(
+    width: int,
+    height: int,
+    prep: Preprocessed,
+    bg: jnp.ndarray,
+    near: float = NEAR_N,
+    far: float = FAR_N,
+    buf_size: int | None = None,
+    return_residuals: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
     binning = bin_splats(prep, width, height, buf_size=buf_size)
@@ -364,4 +488,7 @@ def render_pallas(
     med = _assemble(out_aux[..., 3], gx, gy, width, height)
     final_T = _assemble(out_aux[..., 4], gx, gy, width, height)
     n_contrib = _assemble(out_aux[..., 5], gx, gy, width, height).astype(jnp.int32)
-    return color, alpha, normal, depth_acc, med, dist, final_T, n_contrib
+    outputs = (color, alpha, normal, depth_acc, med, dist, final_T, n_contrib)
+    if return_residuals:
+        return outputs, (binning, geom, vals, entry_valid, out_aux[..., 4:5])
+    return outputs

@@ -206,12 +206,15 @@ def _render_tiles(
             out.n_contrib,
         )
 
-    # Batch tiles through vmap under lax.map to bound memory.
+    # Batch tiles through vmap under lax.map to bound memory. Remat the tile
+    # computation: without it, AD saves every batch's (tile_k × 256) alpha
+    # intermediates across the whole map — tens of GB at real scene scale —
+    # while recomputing them in the backward pass is cheap.
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     pad_tiles = (-n_tiles) % tile_batch
     tids = jnp.concatenate([tids, jnp.zeros(pad_tiles, jnp.int32)])
     tiles_batched = tids.reshape(-1, tile_batch)
-    results = jax.lax.map(jax.vmap(one_tile), tiles_batched)
+    results = jax.lax.map(jax.checkpoint(jax.vmap(one_tile)), tiles_batched)
     # Each result leaf: (nb, tile_batch, 256, …) → (n_tiles_padded, 256, …)
     results = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), results)
     results = jax.tree.map(lambda x: x[:n_tiles], results)
@@ -238,6 +241,23 @@ def _render_tiles(
     )
 
 
+def render_tiled_wh(
+    width: int,
+    height: int,
+    prep: Preprocessed,
+    bg: jnp.ndarray,
+    near: float = NEAR_N,
+    far: float = FAR_N,
+    tile_k: int = TILE_K,
+    tile_batch: int = 16,
+    buf_size: int | None = None,
+) -> Tuple[jnp.ndarray, ...]:
+    binning = bin_splats(prep, width, height, buf_size=buf_size)
+    return _render_tiles(
+        prep, binning, bg, width, height, near, far, tile_k, tile_batch,
+    )
+
+
 def render_tiled(
     camera,
     prep: Preprocessed,
@@ -248,15 +268,7 @@ def render_tiled(
     tile_batch: int = 16,
     buf_size: int | None = None,
 ) -> Tuple[jnp.ndarray, ...]:
-    binning = bin_splats(prep, camera.width, camera.height, buf_size=buf_size)
-    return _render_tiles(
-        prep,
-        binning,
-        bg,
-        camera.width,
-        camera.height,
-        near,
-        far,
-        tile_k,
-        tile_batch,
+    return render_tiled_wh(
+        camera.width, camera.height, prep, bg, near, far, tile_k, tile_batch,
+        buf_size,
     )

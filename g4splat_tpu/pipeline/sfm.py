@@ -389,7 +389,9 @@ def canonical_views_from_pairs(
     focals = np.zeros(V, np.float32)
     for v in range(V):
         d = depth_acc[v] / np.maximum(conf_acc[v], 1e-8)
-        depths[v] = d
+        # Predicted pointmaps should be in front of the camera; clamp guards
+        # downstream geometry against untrained/degenerate outputs.
+        depths[v] = np.maximum(d, 1e-3)
         pts = None
         # focal from the canonical pointmap of any pair where v was first.
         for (i, j), (out11, _, out22, _) in pair_outputs.items():
