@@ -217,6 +217,67 @@ def stack_cameras(cams) -> Camera:
     return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
 
 
+def interpolate_cameras(
+    cameras: "Camera",
+    n_neighbors: int = 2,
+    n_per_neighbor: int = 10,
+) -> "Camera":
+    """Interpolated cameras between each camera and its nearest neighbors
+    (reference extract_mesh_adaptive_tsdf interp cams; configs/
+    adaptive_tetrahedralization: n_neighbors_to_interpolate=2,
+    n_interpolated_cameras_for_each_neighbor=10). Rotation slerp via
+    quaternions, linear center/focal interpolation."""
+    import numpy as np
+
+    from g4splat_tpu.core.transforms import quat_to_rotmat, rotmat_to_quat
+
+    V = cameras.w2c.shape[0]
+    centers = np.asarray(cameras.center)
+    w2c = np.asarray(cameras.w2c)
+    fx = np.asarray(cameras.fx)
+    fy = np.asarray(cameras.fy)
+    cx = np.asarray(cameras.cx)
+    cy = np.asarray(cameras.cy)
+
+    def slerp(q0, q1, t):
+        d = float(np.dot(q0, q1))
+        if d < 0:
+            q1, d = -q1, -d
+        if d > 0.9995:
+            q = q0 + t * (q1 - q0)
+            return q / np.linalg.norm(q)
+        th = np.arccos(np.clip(d, -1, 1))
+        return (np.sin((1 - t) * th) * q0 + np.sin(t * th) * q1) / np.sin(th)
+
+    quats = np.stack([
+        np.asarray(rotmat_to_quat(jnp.asarray(m[:3, :3]))) for m in w2c
+    ])
+    out = []
+    for i in range(V):
+        d = np.linalg.norm(centers - centers[i], axis=1)
+        d[i] = np.inf
+        neigh = np.argsort(d)[: min(n_neighbors, V - 1)]
+        for j in neigh:
+            for k in range(1, n_per_neighbor + 1):
+                t = k / (n_per_neighbor + 1)
+                q = slerp(quats[i], quats[int(j)], t)
+                R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+                c = (1 - t) * centers[i] + t * centers[int(j)]
+                m = np.eye(4, dtype=np.float32)
+                m[:3, :3] = R
+                m[:3, 3] = -R @ c
+                out.append(make_camera(
+                    m,
+                    (1 - t) * fx[i] + t * fx[int(j)],
+                    (1 - t) * fy[i] + t * fy[int(j)],
+                    (1 - t) * cx[i] + t * cx[int(j)],
+                    (1 - t) * cy[i] + t * cy[int(j)],
+                    cameras.width, cameras.height,
+                    znear=cameras.znear, zfar=cameras.zfar,
+                ))
+    return stack_cameras(out)
+
+
 def lookat_camera(
     eye, target, up, fx, fy, width, height, **kw
 ) -> Camera:

@@ -61,12 +61,15 @@ def evaluate_mesh(
     n_normal_samples: int = 200_000,
     seed: int = 0,
 ) -> Dict[str, float]:
+    from g4splat_tpu import native
+
     vp = voxel_downsample(pred_vertices[:, :3].astype(np.float64), down_sample)
     vt = voxel_downsample(gt_vertices[:, :3].astype(np.float64), down_sample)
 
     # dist1: gt→pred distances ("completeness"); dist2: pred→gt ("accuracy").
-    dist1, _ = cKDTree(vp).query(vt)
-    dist2, _ = cKDTree(vt).query(vp)
+    # Native C++ KD-tree when built (native/g4native.cpp), scipy otherwise.
+    dist1 = native.knn(vp, vt, 1)[0][:, 0]
+    dist2 = native.knn(vt, vp, 1)[0][:, 0]
 
     precision = float((dist2 < threshold).mean())
     recall = float((dist1 < threshold).mean())
@@ -89,8 +92,8 @@ def evaluate_mesh(
                                           n_normal_samples, seed)
         pt, np_gt = sample_mesh_surface(gt_vertices, gt_faces,
                                         n_normal_samples, seed + 1)
-        _, i1 = cKDTree(pp).query(pt)       # for each gt sample: nearest pred
-        _, i2 = cKDTree(pt).query(pp)       # for each pred sample: nearest gt
+        i1 = native.knn(pp, pt, 1)[1][:, 0]  # for each gt sample: nearest pred
+        i2 = native.knn(pt, pp, 1)[1][:, 0]  # for each pred sample: nearest gt
         normal_acc = float(np.abs((np_pred * np_gt[i2]).sum(-1)).mean())
         normal_comp = float(np.abs((np_gt * np_pred[i1]).sum(-1)).mean())
         metrics.update({

@@ -55,6 +55,11 @@ class MeshExtractionConfig:
     texture_mesh: bool = True
     backend: str = "pallas"
     point_chunk: int = 262_144
+    # Interpolated viewpoints thicken TSDF coverage between input cameras
+    # (extract_mesh_adaptive_tsdf.py:441-451; configs n_neighbors=2, 10 each).
+    use_interpolated_views: bool = False
+    interp_neighbors: int = 2
+    interp_per_neighbor: int = 10
 
 
 class ExtractedMesh(NamedTuple):
@@ -101,6 +106,21 @@ def extract_mesh_adaptive_tsdf(
 ) -> ExtractedMesh:
     extent = cameras_spatial_extent(cameras)
     trunc = config.truncation_margin * extent
+
+    if config.use_interpolated_views:
+        from g4splat_tpu.core.cameras import interpolate_cameras, stack_cameras
+
+        interp = interpolate_cameras(
+            cameras, config.interp_neighbors, config.interp_per_neighbor
+        )
+        cams_list = [
+            jax.tree.map(lambda x, i=i: x[i], cameras)
+            for i in range(cameras.w2c.shape[0])
+        ] + [
+            jax.tree.map(lambda x, i=i: x[i], interp)
+            for i in range(interp.w2c.shape[0])
+        ]
+        cameras = stack_cameras(cams_list)
 
     # 1. Tetra candidate points + Delaunay cells (host).
     points, point_scales = scene.tetra_points(

@@ -643,6 +643,59 @@ class G4SplatPipeline:
                 fx=np.stack([np.asarray(c.fx) for c in new_cams]),
             )
 
+    def dense_view_stage(self, dense_cameras: Camera):
+        """Dense-view mode (P18, train.py:284-323 + render_dense_views.py +
+        guidance/dense_dn_util.py): render every dense view from the stage-1
+        model, lift mono depth aligned to the rendered depth (DA2 when
+        available, rendered depth otherwise), replace the training set with
+        the dense views, and rebuild the plane inputs. The caller then
+        re-runs refine_plane_depths + train_gaussians (no See3D)."""
+        from g4splat_tpu.core.geometry import depth_to_normal
+        from g4splat_tpu.ops.depth_align import depth_linear_align
+        from g4splat_tpu.ops.rasterize import render
+        from g4splat_tpu.ops.rasterize_common import RenderConfig
+        from g4splat_tpu.train.losses import normal_to_curvature
+
+        st = self.state
+        cfg = self.cfg
+        with self._timed("dense_view_stage"):
+            n = dense_cameras.w2c.shape[0]
+            rcfg = RenderConfig(depth_ratio=0.5)
+            imgs, depths = [], []
+            for i in range(n):
+                cam = jax.tree.map(lambda x: x[i], dense_cameras)
+                out = render(cam, st.scene, config=rcfg,
+                             backend=cfg.render_backend)
+                img = np.asarray(out["render"])
+                rd = np.asarray(out["surf_depth"])
+                alpha = np.asarray(out["rend_alpha"])
+                if self.priors.depth_model is not None:
+                    disp = self.priors.depth_model.infer_image(img)
+                    lifted, _, _ = depth_linear_align(
+                        jnp.asarray(disp), jnp.asarray(rd),
+                        jnp.asarray(alpha > 0.5),
+                    )
+                    rd = np.where(alpha > 0.5, rd, np.asarray(lifted))
+                imgs.append(img)
+                depths.append(rd)
+            st.images = np.stack(imgs)
+            st.depths = np.stack(depths)
+            st.prior_depths = st.depths.copy()
+            st.cameras = dense_cameras
+            st.input_view_num = n
+            st.color_weights = np.ones(n, np.float32)
+            normals, curvs = [], []
+            for v in range(n):
+                cam = jax.tree.map(lambda x: x[v], st.cameras)
+                nm = np.asarray(depth_to_normal(cam, jnp.asarray(st.depths[v])))
+                normals.append(nm)
+                curvs.append(np.asarray(normal_to_curvature(jnp.asarray(nm))))
+            st.normals = np.stack(normals)
+            st.curvs = np.stack(curvs)
+            st.confidences = np.ones_like(st.depths)
+            self.render_chart_views_light()
+            self.excavate_planes()
+
     def render_chart_views_light(self):
         """Rebuild pixel→point-id maps after the view set grew."""
         st = self.state
@@ -762,7 +815,8 @@ class G4SplatPipeline:
 
     # ------------------------------------------------------------------ run
     def run(self, images: np.ndarray, cameras: Optional[Camera] = None,
-            gt_images: Optional[np.ndarray] = None, gt_mesh=None):
+            gt_images: Optional[np.ndarray] = None, gt_mesh=None,
+            dense_cameras: Optional[Camera] = None):
         """Full pipeline (train.py:272-368 sequencing)."""
         t0 = time.time()
         self.load_inputs(images, cameras)
@@ -772,6 +826,14 @@ class G4SplatPipeline:
         self.excavate_planes()
         self.refine_plane_depths()
         self.train_gaussians()
+        if self.cfg.use_dense_view:
+            assert dense_cameras is not None, "dense-view mode needs cameras"
+            self.dense_view_stage(dense_cameras)
+            self.refine_plane_depths()
+            pcd = os.path.join(self.store.gaussians, "point_cloud")
+            if os.path.exists(pcd):
+                os.rename(pcd, pcd + "-chart-views")
+            self.train_gaussians()
         if not self.cfg.use_dense_view:
             for stage in range(1, self.cfg.n_see3d_stages + 1):
                 self.see3d_stage(stage)
