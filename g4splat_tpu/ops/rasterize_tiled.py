@@ -30,6 +30,7 @@ from g4splat_tpu.ops.rasterize_dense import composite
 
 # Static capacity knobs (overridable per call).
 MAX_TILES_PER_SPLAT = 16   # splats covering more tiles are truncated
+                           # (a 20px-radius splat can touch up to 4×4 tiles)
 TILE_K = 1024              # max splats composited per tile (front-most kept)
 BUF_FACTOR = 4             # kept sorted-entry prefix = BUF_FACTOR * P
 

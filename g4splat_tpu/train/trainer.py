@@ -316,19 +316,25 @@ class Trainer:
         return int(self._stack.pop())
 
     def _view_slice(self, v: int):
-        cam = jax.tree.map(lambda x: x[v], self.cameras)
-        view = {
-            "image": self.views.image[v],
-            "prior_depth": self.views.prior_depth[v],
-            "prior_normal": self.views.prior_normal[v],
-            "prior_curv": self.views.prior_curv[v],
-            "confidence": self.views.confidence[v],
-            "color_weight": self.views.color_weight[v],
-            "scale_factor": self.views.scale_factor,
-        }
-        return cam, view
+        # Cache per-view slices: per-step device slicing costs ~10 dispatch
+        # round-trips, which dominates on a remote-tunneled chip.
+        if not hasattr(self, "_view_cache"):
+            self._view_cache = {}
+        if v not in self._view_cache:
+            cam = jax.tree.map(lambda x: x[v], self.cameras)
+            view = {
+                "image": self.views.image[v],
+                "prior_depth": self.views.prior_depth[v],
+                "prior_normal": self.views.prior_normal[v],
+                "prior_curv": self.views.prior_curv[v],
+                "confidence": self.views.confidence[v],
+                "color_weight": self.views.color_weight[v],
+                "scale_factor": self.views.scale_factor,
+            }
+            self._view_cache[v] = (cam, view)
+        return self._view_cache[v]
 
-    def step(self) -> Dict[str, float]:
+    def step(self, sync_metrics: bool = True) -> Dict[str, float]:
         self.iteration += 1
         it = self.iteration
         cfg = self.cfg
@@ -361,13 +367,19 @@ class Trainer:
             if it % cfg.opacity_reset_interval == 0:
                 self.scene = self._reset_opacity(self.scene)
 
-        return {k: float(v) for k, v in metrics.items()}
+        if sync_metrics:
+            return {k: float(v) for k, v in metrics.items()}
+        return metrics
 
     def train(self, num_iters: Optional[int] = None, log_every: int = 0):
+        """Run the loop; metrics are synced to host only at log points (per-
+        step float() conversion blocks on the device — expensive over a
+        remote tunnel)."""
         num_iters = num_iters or self.cfg.iterations
         history = []
-        for _ in range(num_iters):
-            m = self.step()
-            if log_every and self.iteration % log_every == 0:
+        for i in range(num_iters):
+            sync = bool(log_every) and (self.iteration + 1) % log_every == 0
+            m = self.step(sync_metrics=sync)
+            if sync:
                 history.append({"iter": self.iteration, **m})
         return history
