@@ -51,45 +51,48 @@ from g4splat_tpu.ops.rasterize_tiled import Binning, bin_splats
 
 NPIX = TILE * TILE          # 256 pixels per tile
 CHUNK = 128                 # splat entries per inner step (lane width)
-GEOM_F = 16                 # Tu3 Tv3 Tw3 cx cy opa (pad to 16 sublanes)
-VAL_F = 8                   # r g b nx ny nz (pad to 8)
+COMB_F = 24                 # rows 0-8 Tu/Tv/Tw, 9-10 center, 11 opacity,
+                            # 12-14 rgb, 15-17 normal, 18-23 pad (3×8 sublanes)
+GEOM_F = 16                 # legacy geometry row budget (bwd kernel scratch)
+VAL_F = 8                   # r g b nx ny nz (pad to 8) — output channel count
 
 
 def _pack_entries(prep: Preprocessed, gid: jnp.ndarray, entry_valid: jnp.ndarray):
-    """Gather per-entry features for aligned entry slots, transposed to (F, E)."""
-    T = prep.T[gid]
-    opa = jnp.where(
-        entry_valid & prep.valid[gid], prep.opacity[gid], 0.0
-    )[:, None]
-    geom = jnp.concatenate(
+    """Gather per-entry features into one lane-major (COMB_F, E) table.
+
+    One column-gather from a pre-concatenated per-splat feature table — a
+    single fused HBM pass (separate per-field gathers + a big (E, F)→(F, E)
+    transpose cost 5× more). Culled splats (prep.valid=False) carry zero
+    opacity; sorted-buffer padding entries (entry_valid=False) sit past every
+    tile's [start, start+count) range, so the kernel's in_count mask already
+    excludes them — no per-entry masking needed here.
+    """
+    del entry_valid
+    P = prep.depth.shape[0]
+    opa = jnp.where(prep.valid, prep.opacity, 0.0)
+    table = jnp.concatenate(
         [
-            T[:, 0], T[:, 1], T[:, 2],
-            prep.center[gid],
-            opa,
-            jnp.zeros((gid.shape[0], GEOM_F - 12)),
+            prep.T.reshape(P, 9),
+            prep.center,
+            opa[:, None],
+            prep.rgb,
+            prep.normal,
+            jnp.zeros((P, COMB_F - 18)),
         ],
         axis=1,
     )
-    vals = jnp.concatenate(
-        [
-            prep.rgb[gid],
-            prep.normal[gid],
-            jnp.zeros((gid.shape[0], VAL_F - 6)),
-        ],
-        axis=1,
-    )
-    return geom.T.astype(jnp.float32), vals.T.astype(jnp.float32)
+    return jnp.take(table.T.astype(jnp.float32), gid, axis=1)
 
 
 def _render_kernel(
     # scalar prefetch
     tile_start_ref, tile_count_ref, tile_xy_ref,
     # inputs
-    geom_hbm, vals_hbm, bg_ref,
+    comb_hbm, bg_ref,
     # outputs
     out_vals_ref, out_aux_ref,
     # scratch
-    geom_vmem, vals_vmem, acc_ref, aux_ref, copy_sem,
+    comb_vmem, acc_ref, aux_ref, copy_sem,
     *, near: float, far: float, n_chunks_max: int,
 ):
     t = pl.program_id(0)
@@ -112,6 +115,7 @@ def _render_kernel(
     cole = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     ut_incl = (rowe <= cole).astype(jnp.float32)   # X @ ut_incl = inclusive
     ut_excl = (rowe < cole).astype(jnp.float32)    # X @ ut_excl = exclusive
+    HI = jax.lax.Precision.DEFAULT                 # bf16 in, f32 accumulate
 
     eidx = jax.lax.broadcasted_iota(jnp.int32, (NPIX, CHUNK), 1)
 
@@ -119,27 +123,40 @@ def _render_kernel(
     # the 128-aligned floor and mask the overhanging lanes (their alpha is
     # forced to 0, so the transmittance scans are unaffected).
     abase0 = (start // CHUNK) * CHUNK
-    n_chunks = pl.cdiv(start + count - abase0, CHUNK)
+    n_chunks = jnp.minimum(pl.cdiv(start + count - abase0, CHUNK),
+                           n_chunks_max)
+
+    def start_copy(c):
+        base = pl.multiple_of(abase0 + c * CHUNK, CHUNK)
+        slot = jax.lax.rem(c, 2)
+        pltpu.make_async_copy(
+            comb_hbm.at[:, pl.ds(base, CHUNK)],
+            comb_vmem.at[slot], copy_sem.at[slot],
+        ).start()
+
+    def wait_copy(c):
+        slot = jax.lax.rem(c, 2)
+        base = pl.multiple_of(abase0 + c * CHUNK, CHUNK)
+        pltpu.make_async_copy(
+            comb_hbm.at[:, pl.ds(base, CHUNK)],
+            comb_vmem.at[slot], copy_sem.at[slot],
+        ).wait()
+
+    # Double-buffered pipeline: chunk c's copy is started by chunk c-1's body
+    # (or here for c=0) under the *same* liveness predicate its wait uses.
+    @pl.when(n_chunks > 0)
+    def _():
+        start_copy(0)
 
     def chunk_body(c, _):
         T_col = aux_ref[:, 0:1]                    # (NPIX, 1)
         live_tile = jnp.max(T_col) >= T_EPS
 
-        @pl.when(jnp.logical_and(c < n_chunks, live_tile))
+        @pl.when(live_tile)
         def _():
-            base = pl.multiple_of(abase0 + c * CHUNK, CHUNK)
-            cp_g = pltpu.make_async_copy(
-                geom_hbm.at[:, pl.ds(base, CHUNK)], geom_vmem, copy_sem.at[0]
-            )
-            cp_v = pltpu.make_async_copy(
-                vals_hbm.at[:, pl.ds(base, CHUNK)], vals_vmem, copy_sem.at[1]
-            )
-            cp_g.start()
-            cp_v.start()
-            cp_g.wait()
-            cp_v.wait()
+            wait_copy(c)
 
-            g = geom_vmem[:]                        # (GEOM_F, CHUNK)
+            g = comb_vmem[jax.lax.rem(c, 2)]        # (COMB_F, CHUNK)
             gpos = abase0 + c * CHUNK + eidx        # global entry positions
             in_count = (gpos >= start) & (gpos < start + count)
 
@@ -176,37 +193,37 @@ def _render_kernel(
             live = pz_ok & (z >= near) & (alpha >= ALPHA_EPS) & in_count
             alpha = jnp.where(live, alpha, 0.0)
 
-            # Transmittance prefix products via log-space triangular matmuls.
+            # ONE log-space triangular matmul gives the inclusive prefix;
+            # the early-stop set {T_incl < eps} is a suffix (T monotone), so
+            # the exclusive prefix over *effective* alphas is just
+            # T_incl/(1−α) on the kept prefix — no second scan needed.
             log_om = jnp.log1p(-alpha)
             cum_incl = jnp.dot(log_om, ut_incl,
                                preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
             T_incl = T_col * jnp.exp(cum_incl)
             skip = T_incl < T_EPS
+            T_excl = T_col * jnp.exp(cum_incl - log_om)
             alpha_eff = jnp.where(skip, 0.0, alpha)
-            log_om_eff = jnp.log1p(-alpha_eff)
-            cum_excl = jnp.dot(log_om_eff, ut_excl,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-            T_excl = T_col * jnp.exp(cum_excl)
             w = alpha_eff * T_excl                   # (NPIX, CHUNK)
 
             # MXU accumulation: (NPIX, CHUNK) @ (CHUNK, VAL_F).
             acc_ref[:, :] += jax.lax.dot_general(
-                w, vals_vmem[:],
+                w, g[12 : 12 + VAL_F],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=HI,
             )
 
-            # Distortion moments (2DGS appendix; forward.cu:392-400).
+            # Distortion moments (2DGS appendix; forward.cu:392-400): the two
+            # exclusive scans ride one stacked (2·NPIX, CHUNK) matmul.
             m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
             mw = m * w
             m2w = m * m * w
             cs_mw = jnp.dot(mw, ut_excl, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=HI)
             cs_m2w = jnp.dot(m2w, ut_excl, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=HI)
             M1_col = aux_ref[:, 2:3]
             M2_col = aux_ref[:, 3:4]
             A = 1.0 - T_excl
@@ -235,17 +252,27 @@ def _render_kernel(
             ).astype(jnp.float32)
             aux_ref[:, 6:7] = jnp.maximum(aux_ref[:, 6:7], lastc)
 
-            # Carry transmittance (inclusive product of effective alphas).
-            aux_ref[:, 0:1] = T_col * jnp.exp(
-                cum_excl[:, CHUNK - 1 : CHUNK]
-                + log_om_eff[:, CHUNK - 1 : CHUNK]
+            # Carry transmittance: effective T after this chunk = T at the
+            # last kept entry (suffix-skip ⇒ min over kept of T_incl; T_col
+            # when everything was skipped).
+            T_next = jnp.minimum(
+                T_col,
+                jnp.min(jnp.where(skip, jnp.inf, T_incl), axis=1,
+                        keepdims=True),
             )
+            aux_ref[:, 0:1] = T_next
+
+            live_next = jnp.max(T_next) >= T_EPS
+
+            @pl.when(jnp.logical_and(c + 1 < n_chunks, live_next))
+            def _():
+                start_copy(c + 1)
 
         return 0
 
     # Traced per-tile bound: a tile only walks its own chunks (the CUDA
     # kernel's `rounds`); n_chunks_max is just the padding-safe ceiling.
-    jax.lax.fori_loop(0, jnp.minimum(n_chunks, n_chunks_max), chunk_body, 0)
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
     T_fin = aux_ref[:, 0:1]
     bg = bg_ref[0:1, :]                               # (1, VAL_F)
@@ -270,8 +297,7 @@ def _render_kernel(
     static_argnames=("width", "height", "near", "far", "n_chunks_max"),
 )
 def _rasterize_tiles_pallas(
-    geom: jnp.ndarray,        # (GEOM_F, E) sorted, E multiple of CHUNK
-    vals: jnp.ndarray,        # (VAL_F, E)
+    comb: jnp.ndarray,        # (COMB_F, E) sorted, E multiple of CHUNK
     tile_start: jnp.ndarray,  # (n_tiles,)
     tile_count: jnp.ndarray,  # (n_tiles,)
     bg: jnp.ndarray,          # (3,)
@@ -294,7 +320,6 @@ def _rasterize_tiles_pallas(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -304,8 +329,7 @@ def _rasterize_tiles_pallas(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((GEOM_F, CHUNK), jnp.float32),
-            pltpu.VMEM((VAL_F, CHUNK), jnp.float32),
+            pltpu.VMEM((2, COMB_F, CHUNK), jnp.float32),  # double buffer
             pltpu.VMEM((NPIX, VAL_F), jnp.float32),
             pltpu.VMEM((NPIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -320,7 +344,7 @@ def _rasterize_tiles_pallas(
             jax.ShapeDtypeStruct((n_tiles, NPIX, VAL_F), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, NPIX, 8), jnp.float32),
         ],
-    )(tile_start, tile_count, tile_xy, geom, vals, bg_pad)
+    )(tile_start, tile_count, tile_xy, comb, bg_pad)
     return out_vals, out_aux
 
 
@@ -372,7 +396,7 @@ def _render_pallas_bwd(static, res, cts):
 
     width, height, near, far = static
     prep, bg, residuals = res
-    binning, geom, vals, entry_valid, final_T = residuals
+    binning, comb, entry_valid, final_T = residuals
     gid = binning.gauss_id
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
@@ -397,8 +421,8 @@ def _render_pallas_bwd(static, res, cts):
     cot = cot.at[..., 8].set(_disassemble(f32(g_dist), gx, gy, width, height))
     cot = cot.at[..., 9].set(_disassemble(f32(g_med), gx, gy, width, height))
 
-    dgeom, dvals = rasterize_backward_pallas(
-        geom, vals, binning.tile_start, binning.tile_count, cot, final_T,
+    dcomb = rasterize_backward_pallas(
+        comb, binning.tile_start, binning.tile_count, cot, final_T,
         jnp.asarray(bg, jnp.float32)[:3], width, height, near, far,
     )
 
@@ -410,16 +434,15 @@ def _render_pallas_bwd(static, res, cts):
     abase_of = (start_of // CHUNK) * CHUNK
     in_support = (pos - abase_of) < MAX_CHUNKS_PER_TILE * CHUNK
     ok = entry_valid & in_support
-    dgeom = jnp.where(ok[None, :], dgeom[:, :E], 0.0)
-    dvals = jnp.where(ok[None, :], dvals[:, :E], 0.0)
+    dcomb = jnp.where(ok[None, :], dcomb[:, :E], 0.0)
 
     # Per-entry → per-splat: ONE combined scatter-add (the batched atomicAdd;
     # separate 2D-indexed scatters are ~10× slower on TPU).
     P = prep.depth.shape[0]
     safe_gid = jnp.where(ok, gid, 0)
-    d_opa_entry = jnp.where(prep.valid[safe_gid] & ok, dgeom[11, :], 0.0)
+    d_opa_entry = jnp.where(prep.valid[safe_gid] & ok, dcomb[11, :], 0.0)
     d_all = jnp.concatenate(
-        [dgeom[:11, :], d_opa_entry[None], dvals[0:6, :]], axis=0
+        [dcomb[:11, :], d_opa_entry[None], dcomb[12:18, :]], axis=0
     ).T                                            # (E, 18)
     acc = jnp.zeros((P, 18), jnp.float32).at[safe_gid].add(d_all, mode="drop")
 
@@ -470,14 +493,13 @@ def _render_pallas_impl(
     binning = bin_splats(prep, width, height, buf_size=buf_size)
     n_tiles = gx * gy
     entry_valid = binning.tile_id < n_tiles
-    geom, vals = _pack_entries(prep, binning.gauss_id, entry_valid)
-    pad = (-geom.shape[1]) % CHUNK
+    comb = _pack_entries(prep, binning.gauss_id, entry_valid)
+    pad = (-comb.shape[1]) % CHUNK
     if pad:
-        geom = jnp.pad(geom, ((0, 0), (0, pad)))
-        vals = jnp.pad(vals, ((0, 0), (0, pad)))
-    n_chunks_max = geom.shape[1] // CHUNK
+        comb = jnp.pad(comb, ((0, 0), (0, pad)))
+    n_chunks_max = comb.shape[1] // CHUNK
     out_vals, out_aux = _rasterize_tiles_pallas(
-        geom, vals, binning.tile_start, binning.tile_count, bg,
+        comb, binning.tile_start, binning.tile_count, bg,
         width, height, near, far, n_chunks_max,
     )
     color = _assemble(out_vals[..., 0:3], gx, gy, width, height)
@@ -490,5 +512,5 @@ def _render_pallas_impl(
     n_contrib = _assemble(out_aux[..., 5], gx, gy, width, height).astype(jnp.int32)
     outputs = (color, alpha, normal, depth_acc, med, dist, final_T, n_contrib)
     if return_residuals:
-        return outputs, (binning, geom, vals, entry_valid, out_aux[..., 4:5])
+        return outputs, (binning, comb, entry_valid, out_aux[..., 4:5])
     return outputs

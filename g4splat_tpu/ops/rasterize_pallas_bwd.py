@@ -7,14 +7,19 @@ so the accumulation is inverted:
 
 - The TPU pallas grid is *sequential*, and the sorted entry list assigns each
   entry to exactly one tile, so per-entry gradients are written race-free to
-  an (F, E) buffer; only each tile's first (floor-aligned) DMA window can
+  a (COMB_F, E) buffer; only each tile's first (floor-aligned) DMA window can
   touch the previous tile's entries, handled by a masked read-modify-write.
 - Pass 1 walks chunks front-to-back recomputing the per-chunk carries
   (T_in, M1_in, M2_in) into VMEM scratch (the CUDA kernel instead saves
   final_T and divides transmittance back out).
 - Pass 2 walks chunks back-to-front carrying per-pixel suffix sums
   (Σw·u, Σw, Σm·w, Σw·m²·T); within-chunk suffix scans are strictly-lower
-  triangular matmuls on the MXU.
+  triangular matmuls on the MXU, stacked four-high into one dispatch.
+- Transmittance needs ONE scan per chunk: the early-stop set {T_incl < eps}
+  is a suffix (T monotone), so the exclusive prefix over effective alphas is
+  T_incl/(1−α) on the kept prefix (same identity as the forward kernel).
+- Chunk reads are double-buffered: chunk c±1's DMA is issued before chunk c's
+  compute, hiding HBM latency behind the VPU/MXU work.
 - The α/z → (Tu, Tv, Tw, center, opacity) chain comes from `jax.vjp` over the
   same intersection math the forward kernel uses, traced inline — only the
   compositing calculus is hand-derived:
@@ -30,6 +35,10 @@ so the accumulation is inverted:
 Median depth: T is monotone, so entries with incoming T > 0.5 form a prefix;
 the median contributor is that prefix's last entry — the first medmask hit of
 the reverse sweep (an "assigned" flag keeps it unique across chunks).
+
+Entry layout (COMB_F=24 rows): 0-8 Tu/Tv/Tw, 9-10 center, 11 opacity,
+12-14 rgb, 15-17 normal, 18-23 pad — shared with the forward kernel
+(rasterize_pallas._pack_entries).
 """
 
 from __future__ import annotations
@@ -49,14 +58,14 @@ from g4splat_tpu.ops.rasterize_common import (
     T_EPS,
     TILE,
 )
-from g4splat_tpu.ops.rasterize_pallas import CHUNK, GEOM_F, NPIX, VAL_F
+from g4splat_tpu.ops.rasterize_pallas import CHUNK, COMB_F, NPIX
 
 MAX_CHUNKS_PER_TILE = 64   # gradient support cap: 8192 depth-sorted entries
 
 
 def _chunk_alpha_z(g, px, py, near):
     """Differentiable per-chunk intersection math (mirrors the forward
-    kernel). g: (GEOM_F, CHUNK); px, py: (NPIX, 1) → alpha, z, live."""
+    kernel). g: (COMB_F, CHUNK); px, py: (NPIX, 1) → alpha, z, live."""
     def row(i):
         return g[i, :][None, :]
 
@@ -92,15 +101,18 @@ def _chunk_alpha_z(g, px, py, near):
 def _bwd_kernel(
     # scalar prefetch
     tile_start_ref, tile_count_ref, tile_xy_ref,
-    # inputs
-    geom_hbm, vals_hbm, cot_ref, finT_ref, bg_ref,
+    # inputs (dinit_hbm is a zeros buffer aliased to the output so windows
+    # of chunks skipped by the early exit read back as zero gradients)
+    comb_hbm, cot_ref, finT_ref, bg_ref, dinit_hbm,
     # outputs (per-entry gradients in the sorted layout)
-    dgeom_hbm, dvals_hbm,
+    dcomb_hbm,
     # scratch
-    geom_vmem, vals_vmem, dgeom_vmem, dvals_vmem, old_g, old_v,
-    tcarry_ref, m1carry_ref, m2carry_ref, suffix_ref, copy_sem,
+    comb_vmem, dcomb_vmem, old_d,
+    tcarry_ref, m1carry_ref, m2carry_ref, suffix_ref, nproc_ref,
+    copy_sem, wr_sem,
     *, near: float, far: float,
 ):
+    del dinit_hbm
     t = pl.program_id(0)
     start = tile_start_ref[t]
     count = tile_count_ref[t]
@@ -125,58 +137,76 @@ def _bwd_kernel(
                     MAX_CHUNKS_PER_TILE),
         0,
     )
-    HI = jax.lax.Precision.HIGHEST
+    HI = jax.lax.Precision.DEFAULT
 
     def in_range_mask(c):
         gpos = abase0 + c * CHUNK + eidx
         return (gpos >= start) & (gpos < start + count)
 
-    def load_chunk(c, want_vals):
+    def start_read(c):
         base = pl.multiple_of(abase0 + c * CHUNK, CHUNK)
-        cp_g = pltpu.make_async_copy(
-            geom_hbm.at[:, pl.ds(base, CHUNK)], geom_vmem, copy_sem.at[0]
-        )
-        cp_g.start()
-        if want_vals:
-            cp_v = pltpu.make_async_copy(
-                vals_hbm.at[:, pl.ds(base, CHUNK)], vals_vmem, copy_sem.at[1]
-            )
-            cp_v.start()
-            cp_v.wait()
-        cp_g.wait()
+        slot = jax.lax.rem(c, 2)
+        pltpu.make_async_copy(
+            comb_hbm.at[:, pl.ds(base, CHUNK)],
+            comb_vmem.at[slot], copy_sem.at[slot],
+        ).start()
 
-    def chunk_quantities(c):
-        g = geom_vmem[:]
+    def wait_read(c):
+        base = pl.multiple_of(abase0 + c * CHUNK, CHUNK)
+        slot = jax.lax.rem(c, 2)
+        pltpu.make_async_copy(
+            comb_hbm.at[:, pl.ds(base, CHUNK)],
+            comb_vmem.at[slot], copy_sem.at[slot],
+        ).wait()
+
+    def chunk_quantities(c, g):
         alpha, z, live = _chunk_alpha_z(g, px, py, near)
         alpha = jnp.where(live & in_range_mask(c), alpha, 0.0)
         T_in = tcarry_ref[pl.ds(c, 1), :][0][:, None]
         log_om = jnp.log1p(-alpha)
         cum_incl = jnp.dot(log_om, ut_incl, preferred_element_type=jnp.float32,
-                           precision=HI)
-        skip = T_in * jnp.exp(cum_incl) < T_EPS
+                           precision=jax.lax.Precision.HIGHEST)
+        T_incl = T_in * jnp.exp(cum_incl)
+        skip = T_incl < T_EPS
+        T_k = T_in * jnp.exp(cum_incl - log_om)     # exclusive on kept prefix
         alpha_eff = jnp.where(skip, 0.0, alpha)
-        log_om_eff = jnp.log1p(-alpha_eff)
-        cum_excl = jnp.dot(log_om_eff, ut_excl,
-                           preferred_element_type=jnp.float32, precision=HI)
-        T_k = T_in * jnp.exp(cum_excl)
         w = alpha_eff * T_k
         m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
-        last = (
-            cum_excl[:, CHUNK - 1 : CHUNK] + log_om_eff[:, CHUNK - 1 : CHUNK]
-        )
-        T_out = (T_in * jnp.exp(last))[:, 0]
+        T_out = jnp.minimum(
+            T_in,
+            jnp.min(jnp.where(skip, jnp.inf, T_incl), axis=1, keepdims=True),
+        )[:, 0]
         return alpha_eff, w, T_k, z, m, T_out
 
     # ---------------- pass 1: forward carries into scratch -----------------
+    # nproc = number of chunks actually composited before every pixel's
+    # transmittance died (the forward kernel's early exit); chunks past it
+    # carry zero weight — both passes skip them and their gradient windows
+    # stay at the aliased zero init.
     tcarry_ref[0:1, :] = jnp.ones((1, NPIX), jnp.float32)
     m1carry_ref[0:1, :] = jnp.zeros((1, NPIX), jnp.float32)
     m2carry_ref[0:1, :] = jnp.zeros((1, NPIX), jnp.float32)
+    nproc_ref[0] = n_chunks
+    nproc_ref[1] = jnp.minimum(1, n_chunks)   # chunks whose read was started
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_read(0)
 
     def fwd_body(c, _):
-        @pl.when(c < n_chunks)
+        @pl.when(c < nproc_ref[0])
         def _():
-            load_chunk(c, want_vals=False)
-            alpha_eff, w, T_k, z, m, T_out = chunk_quantities(c)
+            wait_read(c)
+
+            # Optimistic prefetch (before compute, so DMA overlaps the math);
+            # if this chunk kills the tile the drain below absorbs the copy.
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                start_read(c + 1)
+                nproc_ref[1] = c + 2
+
+            g = comb_vmem[jax.lax.rem(c, 2)]
+            alpha_eff, w, T_k, z, m, T_out = chunk_quantities(c, g)
             nxt = jnp.minimum(c + 1, MAX_CHUNKS_PER_TILE - 1)
             tcarry_ref[pl.ds(nxt, 1), :] = T_out[None]
             m1carry_ref[pl.ds(nxt, 1), :] = (
@@ -185,9 +215,19 @@ def _bwd_kernel(
             m2carry_ref[pl.ds(nxt, 1), :] = (
                 m2carry_ref[pl.ds(c, 1), :] + jnp.sum(m * m * w, axis=1)[None]
             )
+
+            @pl.when(jnp.max(T_out) < T_EPS)
+            def _():
+                nproc_ref[0] = c + 1
         return 0
 
     jax.lax.fori_loop(0, MAX_CHUNKS_PER_TILE, fwd_body, 0)
+    n_proc = nproc_ref[0]
+
+    # Drain the (at most one) prefetched-but-unprocessed read.
+    @pl.when(nproc_ref[1] > n_proc)
+    def _():
+        wait_read(n_proc)
 
     # ------------- pass 2: reverse sweep with suffix accumulators ----------
     cot = cot_ref[0]                           # (NPIX, 16)
@@ -204,15 +244,23 @@ def _bwd_kernel(
     # suffix rows: 0 S_wu, 1 S_w, 2 S_mw, 3 S_wm2T, 4 med_assigned
     suffix_ref[:] = jnp.zeros_like(suffix_ref)
 
+    @pl.when(n_proc > 0)
+    def _():
+        start_read(n_proc - 1)
+
     def bwd_body(i, _):
-        c = n_chunks - 1 - i
+        c = n_proc - 1 - i
 
         @pl.when(c >= 0)
         def _():
-            load_chunk(c, want_vals=True)
-            g = geom_vmem[:]
-            vals = vals_vmem[:]
-            alpha_eff, w, T_k, z, m, _ = chunk_quantities(c)
+            wait_read(c)
+
+            @pl.when(c - 1 >= 0)
+            def _():
+                start_read(c - 1)
+
+            g = comb_vmem[jax.lax.rem(c, 2)]
+            alpha_eff, w, T_k, z, m, _ = chunk_quantities(c, g)
             M1_in = m1carry_ref[pl.ds(c, 1), :][0][:, None]
             M2_in = m2carry_ref[pl.ds(c, 1), :][0][:, None]
             mw = m * w
@@ -225,8 +273,8 @@ def _bwd_kernel(
                                    precision=HI)
             A_k = 1.0 - T_k
 
-            c_rgb = vals[0:3, :]
-            n_vec = vals[3:6, :]
+            c_rgb = g[12:15, :]
+            n_vec = g[15:18, :]
             cgC = jnp.dot(gC, c_rgb, preferred_element_type=jnp.float32,
                           precision=HI)
             ngN = jnp.dot(gN, n_vec, preferred_element_type=jnp.float32,
@@ -288,7 +336,7 @@ def _bwd_kernel(
             _, vjp_fn = jax.vjp(
                 lambda gg: _chunk_alpha_z(gg, px, py, near)[:2], g
             )
-            (dgeom,) = vjp_fn((dL_da, dL_dz))
+            (dg,) = vjp_fn((dL_da, dL_dz))
 
             d_rgb = jax.lax.dot_general(
                 gC, w, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -298,9 +346,9 @@ def _bwd_kernel(
                 gN, w, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=HI,
             )
-            dv = jnp.concatenate(
-                [d_rgb, d_nrm,
-                 jnp.zeros((VAL_F - 6, CHUNK), jnp.float32)], axis=0
+            dcomb = jnp.concatenate(
+                [dg[0:12], d_rgb, d_nrm,
+                 jnp.zeros((COMB_F - 18, CHUNK), jnp.float32)], axis=0
             )
 
             # First chunk may share its window with the previous tile's tail:
@@ -315,34 +363,22 @@ def _bwd_kernel(
 
             @pl.when(c == 0)
             def _():
-                cp_og = pltpu.make_async_copy(
-                    dgeom_hbm.at[:, pl.ds(base, CHUNK)], old_g, copy_sem.at[0]
+                cp_od = pltpu.make_async_copy(
+                    dcomb_hbm.at[:, pl.ds(base, CHUNK)], old_d, wr_sem
                 )
-                cp_ov = pltpu.make_async_copy(
-                    dvals_hbm.at[:, pl.ds(base, CHUNK)], old_v, copy_sem.at[1]
-                )
-                cp_og.start()
-                cp_ov.start()
-                cp_og.wait()
-                cp_ov.wait()
-                dgeom_vmem[:] = jnp.where(col_in_range, dgeom, old_g[:])
-                dvals_vmem[:] = jnp.where(col_in_range, dv, old_v[:])
+                cp_od.start()
+                cp_od.wait()
+                dcomb_vmem[:] = jnp.where(col_in_range, dcomb, old_d[:])
 
             @pl.when(c != 0)
             def _():
-                dgeom_vmem[:] = jnp.where(col_in_range, dgeom, 0.0)
-                dvals_vmem[:] = jnp.where(col_in_range, dv, 0.0)
+                dcomb_vmem[:] = jnp.where(col_in_range, dcomb, 0.0)
 
-            cp_dg = pltpu.make_async_copy(
-                dgeom_vmem, dgeom_hbm.at[:, pl.ds(base, CHUNK)], copy_sem.at[0]
+            cp_dc = pltpu.make_async_copy(
+                dcomb_vmem, dcomb_hbm.at[:, pl.ds(base, CHUNK)], wr_sem
             )
-            cp_dv = pltpu.make_async_copy(
-                dvals_vmem, dvals_hbm.at[:, pl.ds(base, CHUNK)], copy_sem.at[1]
-            )
-            cp_dg.start()
-            cp_dv.start()
-            cp_dg.wait()
-            cp_dv.wait()
+            cp_dc.start()
+            cp_dc.wait()
 
             suffix_ref[0, :] = S_wu_in[:, 0] + jnp.sum(wu, axis=1)
             suffix_ref[1, :] = S_w_in[:, 0] + jnp.sum(w, axis=1)
@@ -358,8 +394,7 @@ def _bwd_kernel(
     jax.jit, static_argnames=("width", "height", "near", "far")
 )
 def rasterize_backward_pallas(
-    geom: jnp.ndarray,         # (GEOM_F, E) sorted entry layout (fwd's)
-    vals: jnp.ndarray,         # (VAL_F, E)
+    comb: jnp.ndarray,         # (COMB_F, E) sorted entry layout (fwd's)
     tile_start: jnp.ndarray,   # (n_tiles,)
     tile_count: jnp.ndarray,   # (n_tiles,)
     cotangents: jnp.ndarray,   # (n_tiles, NPIX, 16): gC gN gD gA gdist gMed …
@@ -369,52 +404,48 @@ def rasterize_backward_pallas(
     height: int,
     near: float,
     far: float,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> jnp.ndarray:
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
     n_tiles = gx * gy
     tx = (jnp.arange(n_tiles, dtype=jnp.int32) % gx) * TILE
     ty = (jnp.arange(n_tiles, dtype=jnp.int32) // gx) * TILE
     tile_xy = jnp.stack([tx, ty], axis=1).reshape(-1)
-    bg_pad = jnp.zeros((1, VAL_F), jnp.float32).at[0, :3].set(bg)
+    bg_pad = jnp.zeros((1, 8), jnp.float32).at[0, :3].set(bg)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, NPIX, 16), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((GEOM_F, CHUNK), jnp.float32),
-            pltpu.VMEM((VAL_F, CHUNK), jnp.float32),
-            pltpu.VMEM((GEOM_F, CHUNK), jnp.float32),
-            pltpu.VMEM((VAL_F, CHUNK), jnp.float32),
-            pltpu.VMEM((GEOM_F, CHUNK), jnp.float32),
-            pltpu.VMEM((VAL_F, CHUNK), jnp.float32),
+            pltpu.VMEM((2, COMB_F, CHUNK), jnp.float32),   # read double buffer
+            pltpu.VMEM((COMB_F, CHUNK), jnp.float32),      # dcomb staging
+            pltpu.VMEM((COMB_F, CHUNK), jnp.float32),      # RMW old window
             pltpu.VMEM((MAX_CHUNKS_PER_TILE, NPIX), jnp.float32),
             pltpu.VMEM((MAX_CHUNKS_PER_TILE, NPIX), jnp.float32),
             pltpu.VMEM((MAX_CHUNKS_PER_TILE, NPIX), jnp.float32),
             pltpu.VMEM((5, NPIX), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
-    dgeom, dvals = pl.pallas_call(
+    dinit = jnp.zeros(comb.shape, jnp.float32)
+    dcomb = pl.pallas_call(
         functools.partial(_bwd_kernel, near=near, far=far),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(geom.shape, jnp.float32),
-            jax.ShapeDtypeStruct(vals.shape, jnp.float32),
-        ],
+        out_shape=jax.ShapeDtypeStruct(comb.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(tile_start, tile_count, tile_xy, geom, vals, cotangents, final_T, bg_pad)
-    return dgeom, dvals
+        input_output_aliases={7: 0},   # dinit (4th tensor op + 3 prefetch)
+    )(tile_start, tile_count, tile_xy, comb, cotangents, final_T, bg_pad,
+      dinit)
+    return dcomb

@@ -1,0 +1,106 @@
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from g4splat_tpu.parallel.mesh import (
+    data_parallel_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+# The DP-equivalence test aborts inside XLA:CPU when run after ~15 other
+# test modules in one interpreter (accumulated runtime state; it passes
+# standalone). Under the full suite, re-exec it in a fresh interpreter.
+_ISOLATED = os.environ.get("G4_TEST_PARALLEL_DIRECT") == "1"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestDataParallel:
+    def test_dp_step_matches_single_device(self):
+        if not _ISOLATED:
+            env = dict(os.environ, G4_TEST_PARALLEL_DIRECT="1")
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", __file__, "-x", "-q",
+                 "-k", "dp_step_matches"],
+                env=env, capture_output=True, text=True, timeout=1200,
+            )
+            assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-4000:]
+            return
+        self._run_dp_equivalence()
+
+    def _run_dp_equivalence(self):
+        import __graft_entry__ as ge
+
+        from g4splat_tpu.train.trainer import (
+            TrainConfig,
+            compute_losses,
+            make_optimizer,
+            scene_params,
+            with_params,
+        )
+        import optax
+
+        scene, cameras, views = ge._tiny_problem(n_views=8)
+        views["scale_factor"] = jnp.full((8,), 10.0)
+        cfg = TrainConfig(
+            use_mip_filter=False, use_depth_order=False, backend="tiled",
+            lambda_dist=10.0, distortion_from=0, normal_consistency_from=0,
+        )
+        optimizer = make_optimizer(cfg)
+        opt_state = optimizer.init(scene_params(scene))
+
+        # Single-device reference: mean loss/grads over all 8 views.
+        def loss_fn(params):
+            s = with_params(scene, params)
+            total = 0.0
+            for i in range(8):
+                cam = jax.tree.map(lambda x: x[i], cameras)
+                view = {k: v[i] if v.ndim else v for k, v in views.items()}
+                l, _ = compute_losses(
+                    s, cam, view, cfg, jnp.asarray(1),
+                    jax.random.fold_in(jax.random.PRNGKey(0), i),
+                    jnp.zeros((s.capacity, 2)),
+                )
+                total += l
+            return total / 8
+
+        ref_loss, ref_grads = jax.value_and_grad(loss_fn)(scene_params(scene))
+
+        # 8-way data parallel.
+        mesh = make_mesh(n_data=8)
+        scene_r = replicate(mesh, scene)
+        opt_r = replicate(mesh, opt_state)
+        cams_s = shard_batch(mesh, cameras)
+        views_s = shard_batch(mesh, views)
+        step = data_parallel_train_step(mesh, cfg, optimizer)
+        scene2, opt2, loss = step(
+            scene_r, opt_r, cams_s, views_s, jnp.asarray(1),
+            jax.random.PRNGKey(0),
+        )
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+
+        # Params after the DP update equal the single-device update.
+        import optax as _optax
+
+        updates, _ = optimizer.update(ref_grads, opt_state,
+                                      scene_params(scene))
+        ref_params = _optax.apply_updates(scene_params(scene), updates)
+        np.testing.assert_allclose(
+            np.asarray(scene2.xyz), np.asarray(ref_params["xyz"]), atol=1e-5
+        )
+
+    def test_shard_batch_places_across_devices(self):
+        mesh = make_mesh(n_data=8)
+        x = jnp.arange(16.0).reshape(16, 1)
+        xs = shard_batch(mesh, x)
+        assert len(xs.sharding.device_set) == 8
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-x", "-q"])
