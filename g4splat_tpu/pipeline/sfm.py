@@ -20,11 +20,12 @@ JAX re-build of the reference's sparse_global_alignment
    result to known camera locations by a similarity transform
    (run_mast3r.py:696-745).
 
-Deviation (documented): the reference parameterizes poses as a kinematic
-chain along the MST and keeps per-anchor depth offsets; we optimize global
-poses with one log-scale per image — same losses, simpler state, converges
-on the scales this pipeline uses (≤ 20 views). Anchor-level depth offsets
-are a planned refinement.
+Parameterization matches the reference: poses are a *kinematic chain* along
+the MST (per-image quaternion/translation relative to the tree parent,
+composed root-out inside the loss — sparse_ga.py:307-317), and canonical
+depths carry **per-anchor log offsets** on a stride-8 grid (the reference's
+core_depth anchor offsets, sparse_ga.py:211-…) bilinearly upsampled at
+correspondence lookups, on top of one global log-scale per image.
 
 Everything inside `fit` is two jitted Adam loops over static-shape padded
 correspondence tensors; pair inference batches shard over the device mesh.
@@ -115,6 +116,79 @@ def maximum_spanning_tree(n: int, edges: Dict[Tuple[int, int], float]):
     return root, out
 
 
+def build_kinematic_tree(
+    n: int, edges: Dict[Tuple[int, int], float], linkage: str = "ward"
+) -> Tuple[int, List[Tuple[int, int]]]:
+    """Shallow kinematic tree via ward hierarchical clustering — the
+    reference's default kinematic_mode='hclust-ward' (sparse_ga.py:150-180):
+    each merge connects the two clusters' *representatives* (the node with
+    the larger total affinity), so hub nodes form and the tree depth stays
+    ~log n instead of Prim's worst-case path. Returns (root, [(parent,
+    child)…]) in parent-before-child order.
+    """
+    if n == 1:
+        return 0, []
+    pws = np.zeros((n, n))
+    smax = max(edges.values()) if edges else 1.0
+    for (i, j), w in edges.items():
+        pws[i, j] = pws[j, i] = min(w / max(smax, 1e-12), 1.0)
+    np.fill_diagonal(pws, 1.0)
+    dist = np.where(pws > 0, 1.0 - pws, 2.0)
+    np.fill_diagonal(dist, 0.0)
+
+    import scipy.cluster.hierarchy as sch
+
+    Z = sch.linkage(sch.distance.squareform(dist, checks=False),
+                    method=linkage)
+    tree_edges = []
+    new_to_old = {i: i for i in range(n)}
+    pws_run = pws.copy()
+    for k, (a, b) in enumerate(Z[:, :2].astype(int)):
+        a = new_to_old[a]
+        b = new_to_old[b]
+        tree_edges.append((a, b))
+        best = a if pws_run[a].sum() > pws_run[b].sum() else b
+        new_to_old[n + k] = best
+        pws_run[best] = np.maximum(pws_run[a], pws_run[b])
+
+    root = int(np.argmax(pws.sum(axis=1)))
+    # Orient the undirected merge edges away from the root (BFS).
+    adj = [[] for _ in range(n)]
+    for a, b in tree_edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    seen = {root}
+    order = [root]
+    out = []
+    qi = 0
+    while qi < len(order):
+        u = order[qi]
+        qi += 1
+        for v in adj[u]:
+            if v not in seen:
+                seen.add(v)
+                order.append(v)
+                out.append((u, v))
+    # Disconnected safety: attach leftovers to the root.
+    for v in range(n):
+        if v not in seen:
+            seen.add(v)
+            out.append((root, v))
+    return root, out
+
+
+def _parent_array(n: int, root: int, tree) -> np.ndarray:
+    parent = np.full(n, -1, np.int64)
+    for par, child in tree:
+        parent[child] = par
+    return parent
+
+
+def _topo_order(root: int, tree) -> List[int]:
+    """Root-out order (Prim's output is already parent-before-child)."""
+    return [root] + [child for _, child in tree]
+
+
 def gamma_loss(x: jnp.ndarray, gamma: float, eps: float = 1e-8) -> jnp.ndarray:
     """|x|^gamma with safe gradient (reference gamma losses,
     mast3r/utils/losses.py semantics)."""
@@ -143,6 +217,9 @@ class SfMConfig:
     max_corres_per_pair: int = 2048
     optimize_intrinsics: bool = True
     fix_poses: bool = False      # posed mode: keep provided poses frozen
+    anchor_stride: int = 8       # per-anchor depth-offset grid (subsample=8)
+    optimize_depth_offsets: bool = True
+    depth_offset_lr_mult: float = 0.1   # offsets refine, poses explain
 
 
 class SfMResult(NamedTuple):
@@ -173,28 +250,41 @@ def sparse_global_alignment(
 ) -> SfMResult:
     V, H, W = canonical_depths.shape
 
-    # ---- pose init: MST over pair scores, Umeyama relative poses ----
+    # ---- kinematic tree over pair scores (hclust-ward, the reference
+    # default; shared by pose init + chain parameterization) ----
+    edges = {(p.i, p.j): p.score for p in pairs}
+    root, tree = build_kinematic_tree(V, edges)
+
+    # ---- pose init: Umeyama relative poses composed along the tree ----
     if init_w2c is None:
-        edges = {(p.i, p.j): p.score for p in pairs}
         rel = {(p.i, p.j): p.T_ji for p in pairs if p.T_ji is not None}
-        root, tree = maximum_spanning_tree(V, edges)
         c2w = [None] * V
         c2w[root] = np.eye(4)
-        for parent, child in tree:
+        for par, child in tree:
             T = None
-            if (parent, child) in rel:
-                T = rel[(parent, child)]          # child cam → parent cam
-            elif (child, parent) in rel:
-                T = np.linalg.inv(rel[(child, parent)])
+            if (par, child) in rel:
+                T = rel[(par, child)]             # child cam → parent cam
+            elif (child, par) in rel:
+                T = np.linalg.inv(rel[(child, par)])
             if T is None:
                 T = np.eye(4)
-            c2w[child] = c2w[parent] @ T
+            c2w[child] = c2w[par] @ T
         w2c0 = np.stack([np.linalg.inv(m) for m in c2w])
     else:
         w2c0 = np.asarray(init_w2c, np.float64).copy()
 
-    quats0 = np.stack([rotmat_to_quat(jnp.asarray(m[:3, :3])) for m in w2c0])
-    trans0 = w2c0[:, :3, 3]
+    # ---- kinematic chain along the MST (sparse_ga.py:307-317) ----
+    # w2c_v = T_rel(v) @ w2c_parent(v); the root holds its absolute pose.
+    # Prim's output is parent-before-child, so one root-out pass composes it.
+    T_rel0 = np.zeros((V, 4, 4))
+    T_rel0[root] = w2c0[root]
+    for par, child in tree:
+        T_rel0[child] = w2c0[child] @ np.linalg.inv(w2c0[par])
+
+    quats0 = np.stack(
+        [rotmat_to_quat(jnp.asarray(m[:3, :3])) for m in T_rel0]
+    )
+    trans0 = T_rel0[:, :3, 3]
 
     # ---- padded correspondence tensors ----
     P = len(pairs)
@@ -212,25 +302,76 @@ def sparse_global_alignment(
         pij[k] = (p.i, p.j)
     cw = cw / max(cw.sum(), 1e-8) * (cw > 0).sum()   # normalize weights
 
+    # Per-anchor depth-offset grid (the reference's core_depth offsets at
+    # subsample=8) — log-multiplicative, bilinearly upsampled at lookups.
+    stride = max(1, int(cfg.anchor_stride))
+    Gh = (H - 1) // stride + 2
+    Gw = (W - 1) // stride + 2
+
     params = {
         "quat": jnp.asarray(quats0, jnp.float32),
         "trans": jnp.asarray(trans0, jnp.float32),
         "log_focal": jnp.log(jnp.asarray(init_focals, jnp.float32)),
         "log_scale": jnp.zeros(V),
+        "log_doff": jnp.zeros((V, Gh, Gw)),
     }
     depths0 = jnp.asarray(canonical_depths, jnp.float32)
     xi_j = jnp.asarray(xi)
     xj_j = jnp.asarray(xj)
     cw_j = jnp.asarray(cw)
     pij_j = jnp.asarray(pij)
+    parent_j = tuple(int(parent_of) for parent_of in _parent_array(V, root, tree))
+    topo_j = tuple(_topo_order(root, tree))
 
-    def world_points(params, view_idx, xy):
+    def compose_chain(params):
+        """Relative (quat, trans) along the MST → absolute w2c (R, t) arrays.
+        V ≤ ~20, so the root-out composition unrolls inside jit."""
+        R_rel = quat_to_rotmat(params["quat"])       # (V, 3, 3)
+        t_rel = params["trans"]                      # (V, 3)
+        R_abs = [None] * V
+        t_abs = [None] * V
+        for v in topo_j:
+            p = parent_j[v]
+            if p < 0:
+                R_abs[v] = R_rel[v]
+                t_abs[v] = t_rel[v]
+            else:
+                # w2c_v = T_rel @ w2c_p:  R = R_rel R_p,  t = R_rel t_p + t_rel
+                R_abs[v] = R_rel[v] @ R_abs[p]
+                t_abs[v] = R_rel[v] @ t_abs[p] + t_rel[v]
+        return jnp.stack(R_abs), jnp.stack(t_abs)
+
+    def depth_offset_at(params, view_idx, xy):
+        """Bilinear per-anchor log offset at pixel coords xy (P, M, 2)."""
+        gx = jnp.clip(xy[..., 0], 0, W - 1) / stride
+        gy = jnp.clip(xy[..., 1], 0, H - 1) / stride
+        x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, Gw - 2)
+        y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, Gh - 2)
+        wx = gx - x0
+        wy = gy - y0
+        g = params["log_doff"]
+        g = g - jnp.mean(g, axis=(1, 2), keepdims=True)
+        vi = view_idx[:, None]
+        return (
+            g[vi, y0, x0] * (1 - wx) * (1 - wy)
+            + g[vi, y0, x0 + 1] * wx * (1 - wy)
+            + g[vi, y0 + 1, x0] * (1 - wx) * wy
+            + g[vi, y0 + 1, x0 + 1] * wx * wy
+        )
+
+    def world_points(params, R_abs, t_abs, view_idx, xy):
         """Lift pixels of `view_idx` (per pair) to world points. xy (P, M, 2)."""
-        q = params["quat"][view_idx]                 # (P, 4)
-        t = params["trans"][view_idx]                # (P, 3)
+        R = R_abs[view_idx]                          # (P, 3, 3) w2c
+        t = t_abs[view_idx]                          # (P, 3)
         f = jnp.exp(params["log_focal"][view_idx])   # (P,)
-        s = jnp.exp(params["log_scale"][view_idx])
-        R = quat_to_rotmat(q)                        # w2c
+        # Global scale is gauge for the matching losses (shrinking the whole
+        # scene shrinks every distance, so the gamma loss would collapse it):
+        # pin it like the reference's 1/min(sizes) normalization
+        # (sparse_ga.py:298-300) by anchoring the smallest per-image scale
+        # at 1. The offset grid is likewise centered per image so scale
+        # lives only in log_scale.
+        ls = params["log_scale"] - jnp.min(params["log_scale"])
+        s = jnp.exp(ls[view_idx])
         # bilinear depth lookup at xy
         x = jnp.clip(xy[..., 0], 0, W - 1)
         y = jnp.clip(xy[..., 1], 0, H - 1)
@@ -242,7 +383,7 @@ def sparse_global_alignment(
             + depths0[view_idx[:, None], y0, x0 + 1] * wx * (1 - wy) \
             + depths0[view_idx[:, None], y0 + 1, x0] * (1 - wx) * wy \
             + depths0[view_idx[:, None], y0 + 1, x0 + 1] * wx * wy
-        d = d * s[:, None]
+        d = d * s[:, None] * jnp.exp(depth_offset_at(params, view_idx, xy))
         cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
         pc = jnp.stack(
             [
@@ -256,11 +397,10 @@ def sparse_global_alignment(
         Rt = jnp.swapaxes(R, -1, -2)
         return jnp.einsum("pab,pmb->pma", Rt, pc - t[:, None, :])
 
-    def project(params, view_idx, pts_world):
-        q = params["quat"][view_idx]
-        t = params["trans"][view_idx]
+    def project(params, R_abs, t_abs, view_idx, pts_world):
+        R = R_abs[view_idx]
+        t = t_abs[view_idx]
         f = jnp.exp(params["log_focal"][view_idx])
-        R = quat_to_rotmat(q)
         pc = jnp.einsum("pab,pmb->pma", R, pts_world) + t[:, None, :]
         z = jnp.maximum(pc[..., 2], 1e-6)
         cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
@@ -270,16 +410,18 @@ def sparse_global_alignment(
         ), pc[..., 2]
 
     def loss_3d(params):
-        wi = world_points(params, pij_j[:, 0], xi_j)
-        wj = world_points(params, pij_j[:, 1], xj_j)
+        R_abs, t_abs = compose_chain(params)
+        wi = world_points(params, R_abs, t_abs, pij_j[:, 0], xi_j)
+        wj = world_points(params, R_abs, t_abs, pij_j[:, 1], xj_j)
         d = jnp.linalg.norm(wi - wj, axis=-1)
         return jnp.sum(cw_j * gamma_loss(d, cfg.gamma1)) / (cw_j > 0).sum()
 
     def loss_2d(params):
-        wi = world_points(params, pij_j[:, 0], xi_j)
-        wj = world_points(params, pij_j[:, 1], xj_j)
-        pj, zj = project(params, pij_j[:, 1], wi)   # i's points into j
-        pi, zi = project(params, pij_j[:, 0], wj)   # j's points into i
+        R_abs, t_abs = compose_chain(params)
+        wi = world_points(params, R_abs, t_abs, pij_j[:, 0], xi_j)
+        wj = world_points(params, R_abs, t_abs, pij_j[:, 1], xj_j)
+        pj, zj = project(params, R_abs, t_abs, pij_j[:, 1], wi)
+        pi, zi = project(params, R_abs, t_abs, pij_j[:, 0], wj)
         res = float(max(H, W))
         e1 = jnp.linalg.norm(pj - xj_j, axis=-1) / res
         e2 = jnp.linalg.norm(pi - xi_j, axis=-1) / res
@@ -309,6 +451,10 @@ def sparse_global_alignment(
             if not cfg.optimize_intrinsics:
                 g = dict(g)
                 g["log_focal"] = jnp.zeros_like(g["log_focal"])
+            g = dict(g)
+            mult = (cfg.depth_offset_lr_mult
+                    if cfg.optimize_depth_offsets else 0.0)
+            g["log_doff"] = g["log_doff"] * mult
             updates, opt_state = opt.update(g, opt_state, params)
             params = optax.apply_updates(params, updates)
             # Renormalize quaternions in place (:450-481).
@@ -322,15 +468,33 @@ def sparse_global_alignment(
             if it % max(1, niter // 10) == 0:
                 losses.append(float(l))
 
-    quats = np.asarray(params["quat"])
-    trans = np.asarray(params["trans"])
+    R_abs, t_abs = jax.jit(compose_chain)(params)
     focals = np.exp(np.asarray(params["log_focal"]))
-    scales = np.exp(np.asarray(params["log_scale"]))
+    ls = np.asarray(params["log_scale"])
+    scales = np.exp(ls - ls.min())
     w2c = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
-    w2c[:, :3, :3] = np.asarray(quat_to_rotmat(jnp.asarray(quats)))
-    w2c[:, :3, 3] = trans
-    depthmaps = canonical_depths * scales[:, None, None]
-    return SfMResult(w2c, focals, depthmaps, losses)
+    w2c[:, :3, :3] = np.asarray(R_abs)
+    w2c[:, :3, 3] = np.asarray(t_abs)
+
+    # Full-resolution per-anchor offsets applied to the returned depths (the
+    # same bilinear grid the optimizer saw).
+    ys, xs = np.mgrid[:H, :W].astype(np.float32)
+    gx = xs / stride
+    gy = ys / stride
+    x0 = np.clip(np.floor(gx).astype(np.int64), 0, Gw - 2)
+    y0 = np.clip(np.floor(gy).astype(np.int64), 0, Gh - 2)
+    wx = gx - x0
+    wy = gy - y0
+    g = np.asarray(params["log_doff"])
+    g = g - g.mean(axis=(1, 2), keepdims=True)
+    off = (
+        g[:, y0, x0] * (1 - wx) * (1 - wy)
+        + g[:, y0, x0 + 1] * wx * (1 - wy)
+        + g[:, y0 + 1, x0] * (1 - wx) * wy
+        + g[:, y0 + 1, x0 + 1] * wx * wy
+    )
+    depthmaps = canonical_depths * scales[:, None, None] * np.exp(off)
+    return SfMResult(w2c, focals, depthmaps.astype(np.float32), losses)
 
 
 def align_to_calibrated_locations(

@@ -9,6 +9,7 @@ from g4splat_tpu.pipeline.sfm import (
     SfMConfig,
     SfMResult,
     align_to_calibrated_locations,
+    build_kinematic_tree,
     build_pairs_exhaustive,
     estimate_focal_from_pointmap,
     maximum_spanning_tree,
@@ -194,6 +195,55 @@ class TestSparseGA:
         c_out = np.stack([np.linalg.inv(m)[:3, 3] for m in aligned.w2c])
         err = np.linalg.norm(c_out - c_gt, axis=1).mean()
         assert err < 0.15, err
+
+
+class TestKinematicTree:
+    def test_hclust_tree_valid_and_shallow(self):
+        # Chain-affinity graph (adjacent views most covisible) — Prim's MST
+        # degenerates to a depth-n path; hclust-ward must stay ~log n.
+        n = 16
+        edges = {}
+        for i in range(n):
+            for j in range(i + 1, n):
+                edges[(i, j)] = 1.0 / (j - i)
+        root, tree = build_kinematic_tree(n, edges)
+        assert len(tree) == n - 1
+        parent = {child: par for par, child in tree}
+        seen = {root}
+        depth = {root: 0}
+        for par, child in tree:             # parent-before-child order
+            assert par in seen
+            seen.add(child)
+            depth[child] = depth[par] + 1
+        assert seen == set(range(n))
+        assert max(depth.values()) <= 8     # far below the path depth 15
+
+    def test_depth_offsets_absorb_depth_error(self):
+        # GT poses frozen, canonical depths corrupted by a smooth field:
+        # the per-anchor offset grid must claw back most of the 3D loss.
+        cams, w2c_gt, depths, focals, pairs, _ = make_sfm_problem()
+        V, H, W = depths.shape
+        ys, xs = np.mgrid[:H, :W]
+        warp = 1.0 + 0.15 * np.sin(xs / W * 4.0)[None] * np.cos(
+            ys / H * 3.0
+        )[None]
+        bad_depths = (depths * warp).astype(np.float32)
+
+        base = SfMConfig(niter1=300, niter2=0, fix_poses=True,
+                         optimize_intrinsics=False,
+                         optimize_depth_offsets=False)
+        with_off = SfMConfig(niter1=300, niter2=0, fix_poses=True,
+                             optimize_intrinsics=False,
+                             optimize_depth_offsets=True,
+                             depth_offset_lr_mult=1.0)
+        r0 = sparse_global_alignment(bad_depths, focals, pairs, base,
+                                     init_w2c=w2c_gt)
+        r1 = sparse_global_alignment(bad_depths, focals, pairs, with_off,
+                                     init_w2c=w2c_gt)
+        # relative depth error vs the true (plane) depths, median over views
+        e0 = np.median(np.abs(r0.depthmaps / depths - 1.0))
+        e1 = np.median(np.abs(r1.depthmaps / depths - 1.0))
+        assert e1 < 0.6 * e0, (e0, e1)
 
 
 if __name__ == "__main__":
