@@ -22,9 +22,10 @@ Compositing semantics match rasterize_dense.composite exactly (1/255 alpha
 cutoff, 0.99 clamp, inclusive-T early-stop, median depth at T>0.5, 2DGS
 depth-distortion moments).
 
-Gradients: `render` falls back to the differentiable tiled backend for the
-backward pass (see rasterize.py); a dedicated back-to-front Pallas backward
-kernel is the planned fast path.
+Gradients: custom_vjp into the dedicated back-to-front Pallas backward
+kernel (rasterize_pallas_bwd.py), which replays compositing CUDA-style from
+the saved per-pixel final_T / n_contrib / distortion-moment totals in a
+single reverse sweep.
 """
 
 from __future__ import annotations
@@ -108,14 +109,20 @@ def _render_kernel(
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     aux_ref[:] = jnp.zeros_like(aux_ref)
-    aux_ref[:, 0:1] = jnp.ones((NPIX, 1), jnp.float32)  # col 0: transmittance
+    # col 0: RAW transmittance carry (product of every live alpha — drives
+    # the oracle's early-stop test, which is a *global* suffix of the raw
+    # cumprod; dense oracle composite(), rasterize_dense.py:53-56).
+    # col 7: EFFECTIVE transmittance (frozen at each pixel's last kept entry)
+    # — the final_T / alpha the render reports.
+    aux_ref[:, 0:1] = jnp.ones((NPIX, 1), jnp.float32)
+    aux_ref[:, 7:8] = jnp.ones((NPIX, 1), jnp.float32)
 
     # Triangular scan matrices (entry j contributes to prefix at entry i).
     rowe = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     cole = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     ut_incl = (rowe <= cole).astype(jnp.float32)   # X @ ut_incl = inclusive
     ut_excl = (rowe < cole).astype(jnp.float32)    # X @ ut_excl = exclusive
-    HI = jax.lax.Precision.DEFAULT                 # bf16 in, f32 accumulate
+    HI = jax.lax.Precision.HIGHEST                 # DEFAULT adds bf16-cast passes and is *slower* here
 
     eidx = jax.lax.broadcasted_iota(jnp.int32, (NPIX, CHUNK), 1)
 
@@ -168,16 +175,23 @@ def _render_kernel(
             Tw0, Tw1, Tw2 = row(6), row(7), row(8)
             cx, cy, opa = row(9), row(10), row(11)
 
-            # k = x·Tw − Tu ; l = y·Tw − Tv → (NPIX, CHUNK) each component.
-            k0 = px * Tw0 - Tu0
-            k1 = px * Tw1 - Tu1
-            k2 = px * Tw2 - Tu2
-            l0 = py * Tw0 - Tv0
-            l1 = py * Tw1 - Tv1
-            l2 = py * Tw2 - Tv2
-            p0 = k1 * l2 - k2 * l1
-            p1 = k2 * l0 - k0 * l2
-            p2 = k0 * l1 - k1 * l0
+            # The homogeneous ray-splat planes p = (x·Tw−Tu)×(y·Tw−Tv) are
+            # *bilinear* in (x, y) — the x·y terms cancel — so hoist the 9
+            # coefficients to per-entry (1, CHUNK) vectors and each p_i is
+            # two FMAs per pixel-entry pair instead of the full cross
+            # product (the kernel is VPU-bound on exactly this math).
+            A0 = Tw2 * Tv1 - Tw1 * Tv2
+            B0 = Tu2 * Tw1 - Tu1 * Tw2
+            C0 = Tu1 * Tv2 - Tu2 * Tv1
+            A1 = Tw0 * Tv2 - Tw2 * Tv0
+            B1 = Tu0 * Tw2 - Tu2 * Tw0
+            C1 = Tu2 * Tv0 - Tu0 * Tv2
+            A2 = Tw1 * Tv0 - Tw0 * Tv1
+            B2 = Tu1 * Tw0 - Tu0 * Tw1
+            C2 = Tu0 * Tv1 - Tu1 * Tv0
+            p0 = px * A0 + py * B0 + C0
+            p1 = px * A1 + py * B1 + C1
+            p2 = px * A2 + py * B2 + C2
             pz_ok = jnp.abs(p2) >= 1e-20
             safe = jnp.where(pz_ok, p2, 1.0)
             su = jnp.clip(p0 / safe, -3e4, 3e4)
@@ -193,10 +207,12 @@ def _render_kernel(
             live = pz_ok & (z >= near) & (alpha >= ALPHA_EPS) & in_count
             alpha = jnp.where(live, alpha, 0.0)
 
-            # ONE log-space triangular matmul gives the inclusive prefix;
-            # the early-stop set {T_incl < eps} is a suffix (T monotone), so
-            # the exclusive prefix over *effective* alphas is just
-            # T_incl/(1−α) on the kept prefix — no second scan needed.
+            # ONE log-space triangular matmul gives the inclusive prefix of
+            # the RAW alphas; the oracle's early-stop set {T_raw_incl < eps}
+            # is a *global* suffix of that raw cumprod, so on the kept prefix
+            # raw == effective and the exclusive prefix is T_incl/(1−α) —
+            # no second scan needed, and the contributor set is a prefix
+            # (which the backward kernel reconstructs from n_contrib).
             log_om = jnp.log1p(-alpha)
             cum_incl = jnp.dot(log_om, ut_incl,
                                preferred_element_type=jnp.float32,
@@ -252,17 +268,17 @@ def _render_kernel(
             ).astype(jnp.float32)
             aux_ref[:, 6:7] = jnp.maximum(aux_ref[:, 6:7], lastc)
 
-            # Carry transmittance: effective T after this chunk = T at the
-            # last kept entry (suffix-skip ⇒ min over kept of T_incl; T_col
-            # when everything was skipped).
-            T_next = jnp.minimum(
-                T_col,
+            # Carries: col 0 = raw cumprod (skip test, decays forever);
+            # col 7 = effective T, frozen at the last kept entry.
+            T_raw_next = T_col * jnp.exp(cum_incl[:, CHUNK - 1 : CHUNK])
+            aux_ref[:, 0:1] = T_raw_next
+            aux_ref[:, 7:8] = jnp.minimum(
+                aux_ref[:, 7:8],
                 jnp.min(jnp.where(skip, jnp.inf, T_incl), axis=1,
                         keepdims=True),
             )
-            aux_ref[:, 0:1] = T_next
 
-            live_next = jnp.max(T_next) >= T_EPS
+            live_next = jnp.max(T_raw_next) >= T_EPS
 
             @pl.when(jnp.logical_and(c + 1 < n_chunks, live_next))
             def _():
@@ -274,7 +290,7 @@ def _render_kernel(
     # kernel's `rounds`); n_chunks_max is just the padding-safe ceiling.
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    T_fin = aux_ref[:, 0:1]
+    T_fin = aux_ref[:, 7:8]                           # effective final T
     bg = bg_ref[0:1, :]                               # (1, VAL_F)
     out_vals_ref[0] = acc_ref[:] + T_fin * bg
     out_aux_ref[0] = jnp.concatenate(
@@ -396,7 +412,7 @@ def _render_pallas_bwd(static, res, cts):
 
     width, height, near, far = static
     prep, bg, residuals = res
-    binning, comb, entry_valid, final_T = residuals
+    binning, comb, entry_valid, aux_tail = residuals
     gid = binning.gauss_id
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
@@ -422,7 +438,7 @@ def _render_pallas_bwd(static, res, cts):
     cot = cot.at[..., 9].set(_disassemble(f32(g_med), gx, gy, width, height))
 
     dcomb = rasterize_backward_pallas(
-        comb, binning.tile_start, binning.tile_count, cot, final_T,
+        comb, binning.tile_start, binning.tile_count, cot, aux_tail,
         jnp.asarray(bg, jnp.float32)[:3], width, height, near, far,
     )
 
@@ -512,5 +528,5 @@ def _render_pallas_impl(
     n_contrib = _assemble(out_aux[..., 5], gx, gy, width, height).astype(jnp.int32)
     outputs = (color, alpha, normal, depth_acc, med, dist, final_T, n_contrib)
     if return_residuals:
-        return outputs, (binning, comb, entry_valid, out_aux[..., 4:5])
+        return outputs, (binning, comb, entry_valid, out_aux[..., 4:8])
     return outputs

@@ -9,17 +9,17 @@ so the accumulation is inverted:
   entry to exactly one tile, so per-entry gradients are written race-free to
   a (COMB_F, E) buffer; only each tile's first (floor-aligned) DMA window can
   touch the previous tile's entries, handled by a masked read-modify-write.
-- Pass 1 walks chunks front-to-back recomputing the per-chunk carries
-  (T_in, M1_in, M2_in) into VMEM scratch (the CUDA kernel instead saves
-  final_T and divides transmittance back out).
-- Pass 2 walks chunks back-to-front carrying per-pixel suffix sums
-  (Σw·u, Σw, Σm·w, Σw·m²·T); within-chunk suffix scans are strictly-lower
-  triangular matmuls on the MXU, stacked four-high into one dispatch.
-- Transmittance needs ONE scan per chunk: the early-stop set {T_incl < eps}
-  is a suffix (T monotone), so the exclusive prefix over effective alphas is
-  T_incl/(1−α) on the kept prefix (same identity as the forward kernel).
-- Chunk reads are double-buffered: chunk c±1's DMA is issued before chunk c's
-  compute, hiding HBM latency behind the VPU/MXU work.
+- ONE back-to-front sweep, exactly like the CUDA kernel: transmittance is
+  unwound from the saved per-pixel final_T by dividing alphas back out
+  (T_k = T_out·exp(−Σ_{j≥k} log(1−α_j)) per chunk), and the distortion
+  prefix moments M1_k/M2_k are recovered from the saved per-pixel *totals*
+  minus the suffix sums the sweep is already carrying. The early-stop set is
+  reconstructed from the saved n_contrib (entries past the last contributor
+  have zero effective alpha) — no forward replay pass is needed at all.
+- Within-chunk suffix sums (Σw·u, Σw, Σm·w, Σw·m²·T) are strictly-lower
+  triangular matmuls on the MXU.
+- Chunk reads are double-buffered: chunk c−1's DMA is issued before chunk
+  c's compute, hiding HBM latency behind the VPU/MXU work.
 - The α/z → (Tu, Tv, Tw, center, opacity) chain comes from `jax.vjp` over the
   same intersection math the forward kernel uses, traced inline — only the
   compositing calculus is hand-derived:
@@ -31,6 +31,9 @@ so the accumulation is inverted:
   with S_* = Σ_{j>k} and gT_end = bg·gC − gA.
 - Per-entry gradients are segment-summed to per-splat gradients outside the
   kernel (batched scatter-add — the moral equivalent of CUDA's atomicAdd).
+- The sweep starts at the chunk holding the tile's last contributor
+  (derived from max n_contrib); later chunks carry zero gradient and their
+  output windows stay at the aliased zero init.
 
 Median depth: T is monotone, so entries with incoming T > 0.5 form a prefix;
 the median contributor is that prefix's last entry — the first medmask hit of
@@ -38,7 +41,8 @@ the reverse sweep (an "assigned" flag keeps it unique across chunks).
 
 Entry layout (COMB_F=24 rows): 0-8 Tu/Tv/Tw, 9-10 center, 11 opacity,
 12-14 rgb, 15-17 normal, 18-23 pad — shared with the forward kernel
-(rasterize_pallas._pack_entries).
+(rasterize_pallas._pack_entries). Saved forward tail (per tile, per pixel,
+4ch): final_T, n_contrib, M1_total, M2_total — out_aux[..., 4:8].
 """
 
 from __future__ import annotations
@@ -73,15 +77,21 @@ def _chunk_alpha_z(g, px, py, near):
     Tv0, Tv1, Tv2 = row(3), row(4), row(5)
     Tw0, Tw1, Tw2 = row(6), row(7), row(8)
     cx, cy, opa = row(9), row(10), row(11)
-    k0 = px * Tw0 - Tu0
-    k1 = px * Tw1 - Tu1
-    k2 = px * Tw2 - Tu2
-    l0 = py * Tw0 - Tv0
-    l1 = py * Tw1 - Tv1
-    l2 = py * Tw2 - Tv2
-    p0 = k1 * l2 - k2 * l1
-    p1 = k2 * l0 - k0 * l2
-    p2 = k0 * l1 - k1 * l0
+    # Bilinear-in-(x, y) form of the ray-splat planes (see forward kernel):
+    # per-entry coefficient vectors, two FMAs per pixel-entry pair. jax.vjp
+    # over this form also backpropagates through ~1/3 the pairwise ops.
+    A0 = Tw2 * Tv1 - Tw1 * Tv2
+    B0 = Tu2 * Tw1 - Tu1 * Tw2
+    C0 = Tu1 * Tv2 - Tu2 * Tv1
+    A1 = Tw0 * Tv2 - Tw2 * Tv0
+    B1 = Tu0 * Tw2 - Tu2 * Tw0
+    C1 = Tu2 * Tv0 - Tu0 * Tv2
+    A2 = Tw1 * Tv0 - Tw0 * Tv1
+    B2 = Tu1 * Tw0 - Tu0 * Tw1
+    C2 = Tu0 * Tv1 - Tu1 * Tv0
+    p0 = px * A0 + py * B0 + C0
+    p1 = px * A1 + py * B1 + C1
+    p2 = px * A2 + py * B2 + C2
     pz_ok = jnp.abs(p2) >= 1e-20
     safe = jnp.where(pz_ok, p2, 1.0)
     su = jnp.clip(p0 / safe, -3e4, 3e4)
@@ -103,13 +113,11 @@ def _bwd_kernel(
     tile_start_ref, tile_count_ref, tile_xy_ref,
     # inputs (dinit_hbm is a zeros buffer aliased to the output so windows
     # of chunks skipped by the early exit read back as zero gradients)
-    comb_hbm, cot_ref, finT_ref, bg_ref, dinit_hbm,
+    comb_hbm, cot_ref, aux_ref, bg_ref, dinit_hbm,
     # outputs (per-entry gradients in the sorted layout)
     dcomb_hbm,
     # scratch
-    comb_vmem, dcomb_vmem, old_d,
-    tcarry_ref, m1carry_ref, m2carry_ref, suffix_ref, nproc_ref,
-    copy_sem, wr_sem,
+    comb_vmem, dcomb_vmem, old_d, state_ref, copy_sem, wr_sem,
     *, near: float, far: float,
 ):
     del dinit_hbm
@@ -125,23 +133,35 @@ def _bwd_kernel(
 
     rowe = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     cole = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    ut_incl = (rowe <= cole).astype(jnp.float32)
-    ut_excl = (rowe < cole).astype(jnp.float32)
+    ge_incl = (rowe >= cole).astype(jnp.float32)    # X @ ge → suffix incl (j≥k)
     lt_strict = (rowe > cole).astype(jnp.float32)   # X @ lt → suffix (j>k)
     eidx = jax.lax.broadcasted_iota(jnp.int32, (NPIX, CHUNK), 1)
+    HI = jax.lax.Precision.HIGHEST
+
+    cot = cot_ref[0]                           # (NPIX, 16)
+    gC = cot[:, 0:3]
+    gN = cot[:, 3:6]
+    gD = cot[:, 6:7]
+    gA = cot[:, 7:8]
+    gdist = cot[:, 8:9]
+    gMed = cot[:, 9:10]
+    aux = aux_ref[0]                           # (NPIX, 4)
+    T_end = aux[:, 0:1]
+    ncont = aux[:, 1:2]                        # 1-based last contributor
+    M1_tot = aux[:, 2:3]
+    M2_tot = aux[:, 3:4]
+    bg = bg_ref[0:1, :]
+    gT_end = jnp.sum(bg[:, 0:3] * gC, axis=1, keepdims=True) - gA
 
     abase0 = (start // CHUNK) * CHUNK
+    # Sweep only down from the chunk holding the tile's last contributor —
+    # the same span the forward kernel's early exit actually composited.
+    last_pos = start + jnp.max(ncont).astype(jnp.int32) - 1   # global entry
     n_chunks = jnp.where(
-        count > 0,
-        jnp.minimum(pl.cdiv(start + count - abase0, CHUNK),
-                    MAX_CHUNKS_PER_TILE),
+        (count > 0) & (jnp.max(ncont) > 0),
+        jnp.minimum((last_pos - abase0) // CHUNK + 1, MAX_CHUNKS_PER_TILE),
         0,
     )
-    HI = jax.lax.Precision.DEFAULT
-
-    def in_range_mask(c):
-        gpos = abase0 + c * CHUNK + eidx
-        return (gpos >= start) & (gpos < start + count)
 
     def start_read(c):
         base = pl.multiple_of(abase0 + c * CHUNK, CHUNK)
@@ -159,97 +179,16 @@ def _bwd_kernel(
             comb_vmem.at[slot], copy_sem.at[slot],
         ).wait()
 
-    def chunk_quantities(c, g):
-        alpha, z, live = _chunk_alpha_z(g, px, py, near)
-        alpha = jnp.where(live & in_range_mask(c), alpha, 0.0)
-        T_in = tcarry_ref[pl.ds(c, 1), :][0][:, None]
-        log_om = jnp.log1p(-alpha)
-        cum_incl = jnp.dot(log_om, ut_incl, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-        T_incl = T_in * jnp.exp(cum_incl)
-        skip = T_incl < T_EPS
-        T_k = T_in * jnp.exp(cum_incl - log_om)     # exclusive on kept prefix
-        alpha_eff = jnp.where(skip, 0.0, alpha)
-        w = alpha_eff * T_k
-        m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
-        T_out = jnp.minimum(
-            T_in,
-            jnp.min(jnp.where(skip, jnp.inf, T_incl), axis=1, keepdims=True),
-        )[:, 0]
-        return alpha_eff, w, T_k, z, m, T_out
-
-    # ---------------- pass 1: forward carries into scratch -----------------
-    # nproc = number of chunks actually composited before every pixel's
-    # transmittance died (the forward kernel's early exit); chunks past it
-    # carry zero weight — both passes skip them and their gradient windows
-    # stay at the aliased zero init.
-    tcarry_ref[0:1, :] = jnp.ones((1, NPIX), jnp.float32)
-    m1carry_ref[0:1, :] = jnp.zeros((1, NPIX), jnp.float32)
-    m2carry_ref[0:1, :] = jnp.zeros((1, NPIX), jnp.float32)
-    nproc_ref[0] = n_chunks
-    nproc_ref[1] = jnp.minimum(1, n_chunks)   # chunks whose read was started
+    # state rows: 0 S_wu, 1 S_w, 2 S_mw, 3 S_wm2T, 4 med_assigned, 5 T_out
+    state_ref[:] = jnp.zeros_like(state_ref)
+    state_ref[5, :] = T_end[:, 0]
 
     @pl.when(n_chunks > 0)
     def _():
-        start_read(0)
-
-    def fwd_body(c, _):
-        @pl.when(c < nproc_ref[0])
-        def _():
-            wait_read(c)
-
-            # Optimistic prefetch (before compute, so DMA overlaps the math);
-            # if this chunk kills the tile the drain below absorbs the copy.
-            @pl.when(c + 1 < n_chunks)
-            def _():
-                start_read(c + 1)
-                nproc_ref[1] = c + 2
-
-            g = comb_vmem[jax.lax.rem(c, 2)]
-            alpha_eff, w, T_k, z, m, T_out = chunk_quantities(c, g)
-            nxt = jnp.minimum(c + 1, MAX_CHUNKS_PER_TILE - 1)
-            tcarry_ref[pl.ds(nxt, 1), :] = T_out[None]
-            m1carry_ref[pl.ds(nxt, 1), :] = (
-                m1carry_ref[pl.ds(c, 1), :] + jnp.sum(m * w, axis=1)[None]
-            )
-            m2carry_ref[pl.ds(nxt, 1), :] = (
-                m2carry_ref[pl.ds(c, 1), :] + jnp.sum(m * m * w, axis=1)[None]
-            )
-
-            @pl.when(jnp.max(T_out) < T_EPS)
-            def _():
-                nproc_ref[0] = c + 1
-        return 0
-
-    jax.lax.fori_loop(0, MAX_CHUNKS_PER_TILE, fwd_body, 0)
-    n_proc = nproc_ref[0]
-
-    # Drain the (at most one) prefetched-but-unprocessed read.
-    @pl.when(nproc_ref[1] > n_proc)
-    def _():
-        wait_read(n_proc)
-
-    # ------------- pass 2: reverse sweep with suffix accumulators ----------
-    cot = cot_ref[0]                           # (NPIX, 16)
-    gC = cot[:, 0:3]
-    gN = cot[:, 3:6]
-    gD = cot[:, 6:7]
-    gA = cot[:, 7:8]
-    gdist = cot[:, 8:9]
-    gMed = cot[:, 9:10]
-    T_end = finT_ref[0]                        # (NPIX, 1)
-    bg = bg_ref[0:1, :]
-    gT_end = jnp.sum(bg[:, 0:3] * gC, axis=1, keepdims=True) - gA
-
-    # suffix rows: 0 S_wu, 1 S_w, 2 S_mw, 3 S_wm2T, 4 med_assigned
-    suffix_ref[:] = jnp.zeros_like(suffix_ref)
-
-    @pl.when(n_proc > 0)
-    def _():
-        start_read(n_proc - 1)
+        start_read(n_chunks - 1)
 
     def bwd_body(i, _):
-        c = n_proc - 1 - i
+        c = n_chunks - 1 - i
 
         @pl.when(c >= 0)
         def _():
@@ -260,17 +199,48 @@ def _bwd_kernel(
                 start_read(c - 1)
 
             g = comb_vmem[jax.lax.rem(c, 2)]
-            alpha_eff, w, T_k, z, m, _ = chunk_quantities(c, g)
-            M1_in = m1carry_ref[pl.ds(c, 1), :][0][:, None]
-            M2_in = m2carry_ref[pl.ds(c, 1), :][0][:, None]
+            alpha, z, live = _chunk_alpha_z(g, px, py, near)
+            gpos = abase0 + c * CHUNK + eidx
+            # Effective alpha: in the tile's range AND at-or-before each
+            # pixel's last contributor (the forward early-stop set is exactly
+            # {index > n_contrib}).
+            keep = (
+                live
+                & (gpos >= start)
+                & (gpos < start + count)
+                & ((gpos - start + 1).astype(jnp.float32) <= ncont)
+            )
+            alpha_eff = jnp.where(keep, alpha, 0.0)
+
+            # Unwind transmittance from the back (the CUDA replay): incoming
+            # T at entry k = T_out_of_chunk / Π_{j≥k}(1−α_j).
+            log_om = jnp.log1p(-alpha_eff)
+            S_log = jnp.dot(log_om, ge_incl,
+                            preferred_element_type=jnp.float32, precision=HI)
+            T_out = state_ref[5, :][:, None]
+            T_k = T_out * jnp.exp(-S_log)
+            w = alpha_eff * T_k
+            m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
             mw = m * w
             m2w = m * m * w
-            M1_k = M1_in + jnp.dot(mw, ut_excl,
+
+            # Suffix sums across chunks (strict within chunk + carried).
+            S_w_in = state_ref[1, :][:, None]
+            S_mw_in = state_ref[2, :][:, None]
+            S_w = S_w_in + jnp.dot(w, lt_strict,
                                    preferred_element_type=jnp.float32,
                                    precision=HI)
-            M2_k = M2_in + jnp.dot(m2w, ut_excl,
-                                   preferred_element_type=jnp.float32,
-                                   precision=HI)
+            S_mw = S_mw_in + jnp.dot(mw, lt_strict,
+                                     preferred_element_type=jnp.float32,
+                                     precision=HI)
+
+            # Prefix moments from the saved totals minus inclusive suffixes.
+            S_m2w_in = state_ref[6, :][:, None]
+            S_m2w = S_m2w_in + jnp.dot(m2w, lt_strict,
+                                       preferred_element_type=jnp.float32,
+                                       precision=HI)
+            M1_k = M1_tot - (S_mw + mw)
+            M2_k = M2_tot - (S_m2w + m2w)
             A_k = 1.0 - T_k
 
             c_rgb = g[12:15, :]
@@ -280,23 +250,14 @@ def _bwd_kernel(
             ngN = jnp.dot(gN, n_vec, preferred_element_type=jnp.float32,
                           precision=HI)
 
-            S_w_in = suffix_ref[1, :][:, None]
-            S_mw_in = suffix_ref[2, :][:, None]
-            S_w = S_w_in + jnp.dot(w, lt_strict,
-                                   preferred_element_type=jnp.float32,
-                                   precision=HI)
-            S_mw = S_mw_in + jnp.dot(mw, lt_strict,
-                                     preferred_element_type=jnp.float32,
-                                     precision=HI)
-
             P_k = m * m * A_k + M2_k - 2.0 * m * M1_k
             u = cgC + ngN + z * gD + gdist * (
                 P_k + m * m * S_w - 2.0 * m * S_mw
             )
             wu = w * u
             wm2T = w * m * m * T_k
-            S_wu_in = suffix_ref[0, :][:, None]
-            S_wm2T_in = suffix_ref[3, :][:, None]
+            S_wu_in = state_ref[0, :][:, None]
+            S_wm2T_in = state_ref[3, :][:, None]
             S_wu = S_wu_in + jnp.dot(wu, lt_strict,
                                      preferred_element_type=jnp.float32,
                                      precision=HI)
@@ -319,11 +280,11 @@ def _bwd_kernel(
             med_mask = (T_k > 0.5) & contrib
             best = jnp.max(jnp.where(med_mask, eidx, -1), axis=1,
                            keepdims=True)
-            not_assigned = suffix_ref[4, :][:, None] < 0.5
+            not_assigned = state_ref[4, :][:, None] < 0.5
             is_med = (eidx == best) & (best >= 0) & not_assigned
             dL_dz = dL_dz + jnp.where(is_med, gMed, 0.0)
-            suffix_ref[4, :] = jnp.maximum(
-                suffix_ref[4, :],
+            state_ref[4, :] = jnp.maximum(
+                state_ref[4, :],
                 jnp.max(med_mask.astype(jnp.float32), axis=1),
             )
 
@@ -380,10 +341,15 @@ def _bwd_kernel(
             cp_dc.start()
             cp_dc.wait()
 
-            suffix_ref[0, :] = S_wu_in[:, 0] + jnp.sum(wu, axis=1)
-            suffix_ref[1, :] = S_w_in[:, 0] + jnp.sum(w, axis=1)
-            suffix_ref[2, :] = S_mw_in[:, 0] + jnp.sum(mw, axis=1)
-            suffix_ref[3, :] = S_wm2T_in[:, 0] + jnp.sum(wm2T, axis=1)
+            # Carries for the next (earlier) chunk.
+            state_ref[0, :] = S_wu_in[:, 0] + jnp.sum(wu, axis=1)
+            state_ref[1, :] = S_w_in[:, 0] + jnp.sum(w, axis=1)
+            state_ref[2, :] = S_mw_in[:, 0] + jnp.sum(mw, axis=1)
+            state_ref[3, :] = S_wm2T_in[:, 0] + jnp.sum(wm2T, axis=1)
+            state_ref[6, :] = S_m2w_in[:, 0] + jnp.sum(m2w, axis=1)
+            state_ref[5, :] = (
+                T_out * jnp.exp(-jnp.sum(log_om, axis=1, keepdims=True))
+            )[:, 0]
 
         return 0
 
@@ -398,7 +364,7 @@ def rasterize_backward_pallas(
     tile_start: jnp.ndarray,   # (n_tiles,)
     tile_count: jnp.ndarray,   # (n_tiles,)
     cotangents: jnp.ndarray,   # (n_tiles, NPIX, 16): gC gN gD gA gdist gMed …
-    final_T: jnp.ndarray,      # (n_tiles, NPIX, 1)
+    aux_tail: jnp.ndarray,     # (n_tiles, NPIX, 4): final_T n_contrib M1 M2
     bg: jnp.ndarray,           # (3,)
     width: int,
     height: int,
@@ -420,7 +386,7 @@ def rasterize_backward_pallas(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, NPIX, 16), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, NPIX, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -430,11 +396,7 @@ def rasterize_backward_pallas(
             pltpu.VMEM((2, COMB_F, CHUNK), jnp.float32),   # read double buffer
             pltpu.VMEM((COMB_F, CHUNK), jnp.float32),      # dcomb staging
             pltpu.VMEM((COMB_F, CHUNK), jnp.float32),      # RMW old window
-            pltpu.VMEM((MAX_CHUNKS_PER_TILE, NPIX), jnp.float32),
-            pltpu.VMEM((MAX_CHUNKS_PER_TILE, NPIX), jnp.float32),
-            pltpu.VMEM((MAX_CHUNKS_PER_TILE, NPIX), jnp.float32),
-            pltpu.VMEM((5, NPIX), jnp.float32),
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((7, NPIX), jnp.float32),            # suffix carries
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -445,7 +407,7 @@ def rasterize_backward_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(comb.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        input_output_aliases={7: 0},   # dinit (4th tensor op + 3 prefetch)
-    )(tile_start, tile_count, tile_xy, comb, cotangents, final_T, bg_pad,
+        input_output_aliases={7: 0},   # dinit (operand index incl. 3 prefetch args)
+    )(tile_start, tile_count, tile_xy, comb, cotangents, aux_tail, bg_pad,
       dinit)
     return dcomb

@@ -191,12 +191,18 @@ def bwd_profile():
     import numpy as _np
     cot = jnp.asarray(_np.random.RandomState(0).rand(n_tiles, 256, 16),
                       jnp.float32) * 1e-3
-    finT = jnp.ones((n_tiles, 256, 1), jnp.float32) * 0.5
+    # aux tail: final_T, n_contrib, M1, M2 — take real ones from the forward
+    from g4splat_tpu.ops.rasterize_pallas import _rasterize_tiles_pallas
+    n_chunks_max = comb.shape[1] // CHUNK
+    _, out_aux = jax.jit(lambda c, ts, tc: _rasterize_tiles_pallas(
+        c, ts, tc, jnp.zeros(3), W, H, cfg.near, cfg.far, n_chunks_max))(
+        comb, binning.tile_start, binning.tile_count)
+    aux_tail = out_aux[..., 4:8]
     bg = jnp.zeros(3)
-    f = jax.jit(lambda c, ts, tc, co, ft: rasterize_backward_pallas(
-        c, ts, tc, co, ft, bg, W, H, cfg.near, cfg.far))
+    f = jax.jit(lambda c, ts, tc, co, at: rasterize_backward_pallas(
+        c, ts, tc, co, at, bg, W, H, cfg.near, cfg.far))
     timeit("bwd kernel", f, comb, binning.tile_start, binning.tile_count,
-           cot, finT, n=10)
+           cot, aux_tail, n=10)
 
     # scatter-add cost
     E = comb.shape[1]
