@@ -25,7 +25,10 @@ the MST (per-image quaternion/translation relative to the tree parent,
 composed root-out inside the loss — sparse_ga.py:307-317), and canonical
 depths carry **per-anchor log offsets** on a stride-8 grid (the reference's
 core_depth anchor offsets, sparse_ga.py:211-…) bilinearly upsampled at
-correspondence lookups, on top of one global log-scale per image.
+correspondence lookups, on top of one global log-scale per image. Optional
+shared intrinsics (log-mean focal, sparse_ga.py:269-277) and per-image
+freezing of the relative pose parameters (sparse_ga.py:489-508) round out
+the reference's option surface.
 
 Everything inside `fit` is two jitted Adam loops over static-shape padded
 correspondence tensors; pair inference batches shard over the device mesh.
@@ -220,6 +223,8 @@ class SfMConfig:
     anchor_stride: int = 8       # per-anchor depth-offset grid (subsample=8)
     optimize_depth_offsets: bool = True
     depth_offset_lr_mult: float = 0.1   # offsets refine, poses explain
+    shared_intrinsics: bool = False     # one focal for all views
+                                        # (sparse_ga.py:269-277)
 
 
 class SfMResult(NamedTuple):
@@ -247,8 +252,14 @@ def sparse_global_alignment(
     pairs: Sequence[PairData],
     cfg: SfMConfig = SfMConfig(),
     init_w2c: Optional[np.ndarray] = None,   # (V, 4, 4) calibrated init
+    freeze: Optional[np.ndarray] = None,     # (V,) bool — per-image freeze
+                                             # (sparse_ga.py:395,489-508)
 ) -> SfMResult:
     V, H, W = canonical_depths.shape
+    freeze_mask = (
+        jnp.asarray(freeze, bool) if freeze is not None
+        else jnp.zeros(V, bool)
+    )
 
     # ---- kinematic tree over pair scores (hclust-ward, the reference
     # default; shared by pose init + chain parameterization) ----
@@ -359,11 +370,21 @@ def sparse_global_alignment(
             + g[vi, y0 + 1, x0 + 1] * wx * wy
         )
 
+    def focal_of(params, view_idx):
+        """Per-view focal, or the shared confidence-weighted aggregate
+        (log-mean) when cfg.shared_intrinsics."""
+        if cfg.shared_intrinsics:
+            return jnp.exp(
+                jnp.broadcast_to(jnp.mean(params["log_focal"]),
+                                 view_idx.shape)
+            )
+        return jnp.exp(params["log_focal"][view_idx])
+
     def world_points(params, R_abs, t_abs, view_idx, xy):
         """Lift pixels of `view_idx` (per pair) to world points. xy (P, M, 2)."""
         R = R_abs[view_idx]                          # (P, 3, 3) w2c
         t = t_abs[view_idx]                          # (P, 3)
-        f = jnp.exp(params["log_focal"][view_idx])   # (P,)
+        f = focal_of(params, view_idx)               # (P,)
         # Global scale is gauge for the matching losses (shrinking the whole
         # scene shrinks every distance, so the gamma loss would collapse it):
         # pin it like the reference's 1/min(sizes) normalization
@@ -400,7 +421,7 @@ def sparse_global_alignment(
     def project(params, R_abs, t_abs, view_idx, pts_world):
         R = R_abs[view_idx]
         t = t_abs[view_idx]
-        f = jnp.exp(params["log_focal"][view_idx])
+        f = focal_of(params, view_idx)
         pc = jnp.einsum("pab,pmb->pma", R, pts_world) + t[:, None, :]
         z = jnp.maximum(pc[..., 2], 1e-6)
         cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
@@ -444,14 +465,21 @@ def sparse_global_alignment(
         @jax.jit
         def step(params, opt_state):
             l, g = jax.value_and_grad(loss_fn)(params)
+            g = dict(g)
             if cfg.fix_poses:
-                g = dict(g)
                 g["quat"] = jnp.zeros_like(g["quat"])
                 g["trans"] = jnp.zeros_like(g["trans"])
+            else:
+                # Per-image freezing (calibrated subset): a frozen image's
+                # *relative* pose moves it whenever an ancestor moves, so
+                # only sensible with freeze sets that are tree-prefixes
+                # (the calibrated-init case: root + calibrated neighbors).
+                fm = freeze_mask[:, None].astype(jnp.float32)
+                g["quat"] = g["quat"] * (1.0 - fm)
+                g["trans"] = g["trans"] * (1.0 - fm)
+                g["log_scale"] = g["log_scale"] * (1.0 - fm[:, 0])
             if not cfg.optimize_intrinsics:
-                g = dict(g)
                 g["log_focal"] = jnp.zeros_like(g["log_focal"])
-            g = dict(g)
             mult = (cfg.depth_offset_lr_mult
                     if cfg.optimize_depth_offsets else 0.0)
             g["log_doff"] = g["log_doff"] * mult
@@ -469,7 +497,11 @@ def sparse_global_alignment(
                 losses.append(float(l))
 
     R_abs, t_abs = jax.jit(compose_chain)(params)
-    focals = np.exp(np.asarray(params["log_focal"]))
+    if cfg.shared_intrinsics:
+        focals = np.full(V, float(np.exp(np.asarray(
+            params["log_focal"]).mean())), np.float32)
+    else:
+        focals = np.exp(np.asarray(params["log_focal"]))
     ls = np.asarray(params["log_scale"])
     scales = np.exp(ls - ls.min())
     w2c = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))

@@ -246,5 +246,28 @@ class TestKinematicTree:
         assert e1 < 0.6 * e0, (e0, e1)
 
 
+class TestSfMOptions:
+    def test_shared_intrinsics_single_focal(self):
+        cams, w2c_gt, depths, focals, pairs, _ = make_sfm_problem()
+        cfg = SfMConfig(niter1=30, niter2=0, shared_intrinsics=True)
+        res = sparse_global_alignment(depths, focals, pairs, cfg,
+                                      init_w2c=w2c_gt)
+        assert np.allclose(res.focals, res.focals[0])
+
+    def test_freeze_all_keeps_poses(self):
+        # The calibrated ("posed") case: every image frozen — poses must not
+        # move even though depth offsets/scales may still optimize.
+        cams, w2c_gt, depths, focals, pairs, _ = make_sfm_problem()
+        V = len(w2c_gt)
+        cfg = SfMConfig(niter1=60, niter2=0, optimize_intrinsics=False)
+        res = sparse_global_alignment(
+            depths, focals, pairs, cfg, init_w2c=w2c_gt,
+            freeze=np.ones(V, bool),
+        )
+        c0 = np.stack([np.linalg.inv(m)[:3, 3] for m in w2c_gt])
+        c1 = np.stack([np.linalg.inv(m)[:3, 3] for m in res.w2c])
+        assert np.abs(c0 - c1).max() < 1e-4
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
