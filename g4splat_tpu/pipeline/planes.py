@@ -136,7 +136,7 @@ def normals_cluster_1d(valid_normals, n_init_clusters=8, n_clusters=6,
             continue
         masks.append(m)
         c = km.cluster_centers_[cid]
-        centers.append(c / np.linalg.norm(c))
+        centers.append(c / max(np.linalg.norm(c), 1e-12))
     return masks, np.array(centers)
 
 
