@@ -190,10 +190,22 @@ class G4SplatPipeline:
                     o[0]["desc"][0], o[2]["desc"][0],
                     o[0]["desc_conf"][0], o[2]["desc_conf"][0],
                 )
+                # DUSt3R regression targets (X12: image-i pixels in frame
+                # j) for correspondence-starved pairs (loss_dust3r).
+                p12 = np.asarray(o[3]["pts3d"][0])
+                c12 = np.asarray(o[3]["conf"][0])
+                hh, ww = c12.shape
+                ys, xs = np.mgrid[:hh, :ww]
+                stride = max(1, int(np.sqrt(hh * ww / 1024)))
+                sl = (slice(None, None, stride), slice(None, None, stride))
                 pairs.append(S.PairData(
                     i=i, j=j, xy_i=xy1, xy_j=xy2, conf=conf,
                     score=float(conf.sum()),
                     T_ji=S.relative_pose_from_pair(o[0], o[2], o[3]),
+                    xy_reg=np.stack([xs[sl], ys[sl]], -1).reshape(-1, 2)
+                        .astype(np.float32),
+                    pts_reg=p12[sl].reshape(-1, 3),
+                    conf_reg=c12[sl].reshape(-1),
                 ))
             depths, focals = S.canonical_views_from_pairs(V, pair_outputs)
             init_w2c = None

@@ -207,6 +207,12 @@ class PairData(NamedTuple):
     conf: np.ndarray       # (M,)
     score: float           # pair strength (Σ conf)
     T_ji: Optional[np.ndarray] = None  # (4, 4) cam-j→cam-i rigid estimate
+    # DUSt3R regression fallback targets (sparse_ga.py:390-402): image-i
+    # pixels and their predicted 3D in camera-j's frame (X12), used when the
+    # pair has no reliable correspondences (max conf ≤ matching_conf_thr).
+    xy_reg: Optional[np.ndarray] = None    # (K, 2) pixels in image i
+    pts_reg: Optional[np.ndarray] = None   # (K, 3) cam-j-frame points
+    conf_reg: Optional[np.ndarray] = None  # (K,)
 
 
 @dataclass
@@ -225,6 +231,10 @@ class SfMConfig:
     depth_offset_lr_mult: float = 0.1   # offsets refine, poses explain
     shared_intrinsics: bool = False     # one focal for all views
                                         # (sparse_ga.py:269-277)
+    matching_conf_thr: float = 5.0      # pairs below fall back to DUSt3R
+    loss_dust3r_w: float = 0.01         # regression fallback weight
+    gamma_d: float = 1.1                # fallback gamma (sparse_ga.py:200)
+    max_reg_points: int = 1024
 
 
 class SfMResult(NamedTuple):
@@ -430,12 +440,61 @@ def sparse_global_alignment(
             axis=-1,
         ), pc[..., 2]
 
+    # ---- DUSt3R regression fallback for correspondence-starved pairs
+    # (loss_dust3r, sparse_ga.py:390-402): pull image-i anchor points toward
+    # image-j's cross prediction of them, expressed in world via j's pose.
+    weak = [
+        p for p in pairs
+        if p.xy_reg is not None
+        and (len(p.conf) == 0 or p.conf.max() <= cfg.matching_conf_thr)
+    ]
+    if weak:
+        K = cfg.max_reg_points
+        Pw = len(weak)
+        rxy = np.zeros((Pw, K, 2), np.float32)
+        rpts = np.zeros((Pw, K, 3), np.float32)
+        rcw = np.zeros((Pw, K), np.float32)
+        rij = np.zeros((Pw, 2), np.int32)
+        for k, p in enumerate(weak):
+            m = min(K, len(p.conf_reg))
+            sel = np.argsort(p.conf_reg)[::-1][:m]
+            rxy[k, :m] = p.xy_reg[sel]
+            rpts[k, :m] = p.pts_reg[sel]
+            rcw[k, :m] = p.conf_reg[sel]
+            both_frozen = bool(freeze_mask[p.i]) and bool(freeze_mask[p.j])
+            if both_frozen:
+                rcw[k] = 0.0
+            rij[k] = (p.i, p.j)
+        rxy_j = jnp.asarray(rxy)
+        rpts_j = jnp.asarray(rpts)
+        rcw_j = jnp.asarray(rcw)
+        rij_j = jnp.asarray(rij)
+
+        def loss_reg(params, R_abs, t_abs):
+            wi = world_points(params, R_abs, t_abs, rij_j[:, 0], rxy_j)
+            Rj = R_abs[rij_j[:, 1]]
+            tj = t_abs[rij_j[:, 1]]
+            # cam-j → world: Rᵀ (p − t)
+            tgt = jnp.einsum(
+                "pba,pmb->pma", Rj, rpts_j - tj[:, None, :]
+            )
+            d = jnp.linalg.norm(wi - tgt, axis=-1)
+            num = jnp.sum(rcw_j * gamma_loss(d, cfg.gamma_d))
+            den = jnp.maximum(jnp.sum(rcw_j), 1e-8)
+            return num / den
+    else:
+
+        def loss_reg(params, R_abs, t_abs):
+            return 0.0
+
     def loss_3d(params):
         R_abs, t_abs = compose_chain(params)
         wi = world_points(params, R_abs, t_abs, pij_j[:, 0], xi_j)
         wj = world_points(params, R_abs, t_abs, pij_j[:, 1], xj_j)
         d = jnp.linalg.norm(wi - wj, axis=-1)
-        return jnp.sum(cw_j * gamma_loss(d, cfg.gamma1)) / (cw_j > 0).sum()
+        main = jnp.sum(cw_j * gamma_loss(d, cfg.gamma1)) / jnp.maximum(
+            (cw_j > 0).sum(), 1)
+        return main + cfg.loss_dust3r_w * loss_reg(params, R_abs, t_abs)
 
     def loss_2d(params):
         R_abs, t_abs = compose_chain(params)
@@ -450,7 +509,8 @@ def sparse_global_alignment(
         valid2 = (zi > 1e-3).astype(jnp.float32)
         total = jnp.sum(cw_j * (gamma_loss(e1, cfg.gamma2) * valid1
                                 + gamma_loss(e2, cfg.gamma2) * valid2))
-        return total / (2 * (cw_j > 0).sum())
+        main = total / jnp.maximum(2 * (cw_j > 0).sum(), 1)
+        return main + cfg.loss_dust3r_w * loss_reg(params, R_abs, t_abs)
 
     losses = []
     for phase, (loss_fn, lr, niter) in enumerate(

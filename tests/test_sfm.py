@@ -269,5 +269,51 @@ class TestSfMOptions:
         assert np.abs(c0 - c1).max() < 1e-4
 
 
+class TestDust3rFallback:
+    def test_regression_only_pairs_recover_pose(self):
+        # Strip all correspondences; give each pair dense regression targets
+        # (image-i pixels lifted by GT depth, expressed in cam-j frame).
+        # The 0.01-weighted fallback alone must still pull a perturbed pose
+        # toward GT (loss_dust3r, sparse_ga.py:390-402).
+        cams, w2c_gt, depths, focals, pairs, _ = make_sfm_problem()
+        V, H, W = depths.shape
+        ys, xs = np.mgrid[4:H:8, 4:W:8]
+        weak_pairs = []
+        for p in pairs:
+            i, j = p.i, p.j
+            f = focals[i]
+            cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+            d = depths[i][ys, xs]
+            pc_i = np.stack([(xs - cx) / f * d, (ys - cy) / f * d, d], -1)
+            c2w_i = np.linalg.inv(w2c_gt[i])
+            pw = pc_i.reshape(-1, 3) @ c2w_i[:3, :3].T + c2w_i[:3, 3]
+            pc_j = pw @ w2c_gt[j][:3, :3].T + w2c_gt[j][:3, 3]
+            weak_pairs.append(p._replace(
+                xy_i=np.zeros((0, 2), np.float32),
+                xy_j=np.zeros((0, 2), np.float32),
+                conf=np.zeros(0, np.float32),
+                xy_reg=np.stack([xs, ys], -1).reshape(-1, 2).astype(
+                    np.float32),
+                pts_reg=pc_j.astype(np.float32),
+                conf_reg=np.ones(len(pc_j), np.float32),
+            ))
+        rng = np.random.RandomState(7)
+        w2c_bad = w2c_gt.copy()
+        w2c_bad[:, :3, 3] += rng.randn(V, 3) * 0.08
+        cfg = SfMConfig(niter1=300, niter2=0, optimize_intrinsics=False,
+                        optimize_depth_offsets=False, loss_dust3r_w=1.0)
+        res = sparse_global_alignment(depths, focals, weak_pairs, cfg,
+                                      init_w2c=w2c_bad)
+        aligned = align_to_calibrated_locations(
+            res, np.stack([np.linalg.inv(m)[:3, 3] for m in w2c_gt])
+        )
+        c_gt = np.stack([np.linalg.inv(m)[:3, 3] for m in w2c_gt])
+        c_bad = np.stack([np.linalg.inv(m)[:3, 3] for m in w2c_bad])
+        c_out = np.stack([np.linalg.inv(m)[:3, 3] for m in aligned.w2c])
+        err_bad = np.linalg.norm(c_bad - c_gt, axis=1).mean()
+        err_out = np.linalg.norm(c_out - c_gt, axis=1).mean()
+        assert err_out < 0.5 * err_bad, (err_bad, err_out)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
