@@ -231,6 +231,8 @@ class SfMConfig:
     depth_offset_lr_mult: float = 0.1   # offsets refine, poses explain
     shared_intrinsics: bool = False     # one focal for all views
                                         # (sparse_ga.py:269-277)
+    optimize_pp: bool = False           # principal point, ±10 px
+                                        # (sparse_ga.py make_K_cam_depth)
     matching_conf_thr: float = 5.0      # pairs below fall back to DUSt3R
     loss_dust3r_w: float = 0.01         # regression fallback weight
     gamma_d: float = 1.1                # fallback gamma (sparse_ga.py:200)
@@ -335,6 +337,7 @@ def sparse_global_alignment(
         "log_focal": jnp.log(jnp.asarray(init_focals, jnp.float32)),
         "log_scale": jnp.zeros(V),
         "log_doff": jnp.zeros((V, Gh, Gw)),
+        "pp": jnp.zeros((V, 2)),   # principal-point offset from center, px
     }
     depths0 = jnp.asarray(canonical_depths, jnp.float32)
     xi_j = jnp.asarray(xi)
@@ -380,6 +383,13 @@ def sparse_global_alignment(
             + g[vi, y0 + 1, x0 + 1] * wx * wy
         )
 
+    def pp_of(params, view_idx):
+        """Principal point: image center plus a clipped learnable offset
+        (the reference clips pp to ±10 px around the center)."""
+        base = jnp.array([(W - 1) / 2.0, (H - 1) / 2.0])
+        off = jnp.clip(params["pp"][view_idx], -10.0, 10.0)
+        return base[None, :] + off
+
     def focal_of(params, view_idx):
         """Per-view focal, or the shared confidence-weighted aggregate
         (log-mean) when cfg.shared_intrinsics."""
@@ -415,11 +425,11 @@ def sparse_global_alignment(
             + depths0[view_idx[:, None], y0 + 1, x0] * (1 - wx) * wy \
             + depths0[view_idx[:, None], y0 + 1, x0 + 1] * wx * wy
         d = d * s[:, None] * jnp.exp(depth_offset_at(params, view_idx, xy))
-        cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+        pp = pp_of(params, view_idx)                 # (P, 2)
         pc = jnp.stack(
             [
-                (xy[..., 0] - cx) / f[:, None] * d,
-                (xy[..., 1] - cy) / f[:, None] * d,
+                (xy[..., 0] - pp[:, None, 0]) / f[:, None] * d,
+                (xy[..., 1] - pp[:, None, 1]) / f[:, None] * d,
                 d,
             ],
             axis=-1,
@@ -434,9 +444,10 @@ def sparse_global_alignment(
         f = focal_of(params, view_idx)
         pc = jnp.einsum("pab,pmb->pma", R, pts_world) + t[:, None, :]
         z = jnp.maximum(pc[..., 2], 1e-6)
-        cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+        pp = pp_of(params, view_idx)
         return jnp.stack(
-            [pc[..., 0] / z * f[:, None] + cx, pc[..., 1] / z * f[:, None] + cy],
+            [pc[..., 0] / z * f[:, None] + pp[:, None, 0],
+             pc[..., 1] / z * f[:, None] + pp[:, None, 1]],
             axis=-1,
         ), pc[..., 2]
 
@@ -540,6 +551,8 @@ def sparse_global_alignment(
                 g["log_scale"] = g["log_scale"] * (1.0 - fm[:, 0])
             if not cfg.optimize_intrinsics:
                 g["log_focal"] = jnp.zeros_like(g["log_focal"])
+            if not (cfg.optimize_pp and cfg.optimize_intrinsics):
+                g["pp"] = jnp.zeros_like(g["pp"])
             mult = (cfg.depth_offset_lr_mult
                     if cfg.optimize_depth_offsets else 0.0)
             g["log_doff"] = g["log_doff"] * mult
