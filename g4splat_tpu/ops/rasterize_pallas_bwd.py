@@ -20,9 +20,10 @@ so the accumulation is inverted:
   triangular matmuls on the MXU.
 - Chunk reads are double-buffered: chunk c−1's DMA is issued before chunk
   c's compute, hiding HBM latency behind the VPU/MXU work.
-- The α/z → (Tu, Tv, Tw, center, opacity) chain comes from `jax.vjp` over the
-  same intersection math the forward kernel uses, traced inline — only the
-  compositing calculus is hand-derived:
+- The α/z → (Tu, Tv, Tw, center, opacity) chain is hand-derived
+  (`_chunk_geom_bwd`), reusing the forward sweep's saved intermediates — an
+  inline `jax.vjp` retraces the intersection math and emits a ~2× heavier
+  VPU chain. The compositing calculus:
     u_k      = c_k·gC + n_k·gN + z_k·gD
                + g_dist·(m_k²A_k + M2_k − 2m_kM1_k + m_k²S_w − 2m_kS_mw)
     ∂L/∂α_k  = T_k·u_k + (−S_wu − gT_end·T_end + g_dist·S_wm2T)/(1−α_k)
@@ -67,19 +68,25 @@ from g4splat_tpu.ops.rasterize_pallas import CHUNK, COMB_F, NPIX
 MAX_CHUNKS_PER_TILE = 64   # gradient support cap: 8192 depth-sorted entries
 
 
-def _chunk_alpha_z(g, px, py, near):
-    """Differentiable per-chunk intersection math (mirrors the forward
-    kernel). g: (COMB_F, CHUNK); px, py: (NPIX, 1) → alpha, z, live."""
+def _rows(g):
     def row(i):
         return g[i, :][None, :]
 
-    Tu0, Tu1, Tu2 = row(0), row(1), row(2)
-    Tv0, Tv1, Tv2 = row(3), row(4), row(5)
-    Tw0, Tw1, Tw2 = row(6), row(7), row(8)
-    cx, cy, opa = row(9), row(10), row(11)
+    return [row(i) for i in range(12)]
+
+
+def _chunk_geom_fwd(g, px, py, near):
+    """Per-chunk intersection math (mirrors the forward kernel).
+
+    g: (COMB_F, CHUNK); px, py: (NPIX, 1) → alpha, z, live, saved
+    where `saved` holds the intermediates the hand-derived backward
+    (`_chunk_geom_bwd`) reuses — running jax.vjp over this math instead
+    retraces the whole forward and emits a ~2× heavier AD chain on the VPU,
+    which was the single biggest cost of the backward kernel.
+    """
+    Tu0, Tu1, Tu2, Tv0, Tv1, Tv2, Tw0, Tw1, Tw2, cx, cy, opa = _rows(g)
     # Bilinear-in-(x, y) form of the ray-splat planes (see forward kernel):
-    # per-entry coefficient vectors, two FMAs per pixel-entry pair. jax.vjp
-    # over this form also backpropagates through ~1/3 the pairwise ops.
+    # per-entry coefficient vectors, two FMAs per pixel-entry pair.
     A0 = Tw2 * Tv1 - Tw1 * Tv2
     B0 = Tu2 * Tw1 - Tu1 * Tw2
     C0 = Tu1 * Tv2 - Tu2 * Tv1
@@ -93,19 +100,99 @@ def _chunk_alpha_z(g, px, py, near):
     p1 = px * A1 + py * B1 + C1
     p2 = px * A2 + py * B2 + C2
     pz_ok = jnp.abs(p2) >= 1e-20
-    safe = jnp.where(pz_ok, p2, 1.0)
-    su = jnp.clip(p0 / safe, -3e4, 3e4)
-    sv = jnp.clip(p1 / safe, -3e4, 3e4)
+    inv_safe = 1.0 / jnp.where(pz_ok, p2, 1.0)
+    su_raw = p0 * inv_safe
+    sv_raw = p1 * inv_safe
+    cu_ok = jnp.abs(su_raw) <= 3e4
+    cv_ok = jnp.abs(sv_raw) <= 3e4
+    su = jnp.clip(su_raw, -3e4, 3e4)
+    sv = jnp.clip(sv_raw, -3e4, 3e4)
     rho3d = su * su + sv * sv
     dx = cx - px
     dy = cy - py
     rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
     use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
+    eterm = jnp.exp(-0.5 * rho)
+    a_raw = opa * eterm
+    alpha = jnp.minimum(ALPHA_CLAMP, a_raw)
     z = jnp.where(use3d, su * Tw0 + sv * Tw1 + Tw2, Tw2)
-    alpha = jnp.minimum(ALPHA_CLAMP, opa * jnp.exp(-0.5 * rho))
     live = pz_ok & (z >= near) & (alpha >= ALPHA_EPS)
-    return alpha, z, live
+    saved = (su, sv, inv_safe, pz_ok, use3d, cu_ok, cv_ok, eterm, a_raw,
+             dx, dy)
+    return alpha, z, live, saved
+
+
+def _chunk_geom_bwd(g, saved, pxh, dA, dZ):
+    """Hand-derived VJP of `_chunk_geom_fwd` w.r.t. g rows 0-11.
+
+    Mirrors the reference CUDA backward's analytic chain
+    (diff-surfel-rasterization/cuda_rasterizer/backward.cu:350-520) in the
+    bilinear-plane form: the (NPIX, CHUNK) work is ~25 elementwise ops and
+    6 pixel-axis reductions; the p→(A,B,C) coefficient chain collapses to
+    three (3, NPIX)@(NPIX, CHUNK) matmuls against pxh = [px; py; 1], and the
+    coefficient→T chain is 36 FMAs on (1, CHUNK) vectors.
+
+    dA, dZ are the alpha/z cotangents (already masked to the contributor
+    set by the caller). Returns (12, CHUNK): dTu(3), dTv(3), dTw(3),
+    d_center(2), d_opacity(1).
+    """
+    (su, sv, inv_safe, pz_ok, use3d, cu_ok, cv_ok, eterm, a_raw,
+     dx, dy) = saved
+    Tu0, Tu1, Tu2, Tv0, Tv1, Tv2, Tw0, Tw1, Tw2, _, _, _ = _rows(g)
+    HI = jax.lax.Precision.HIGHEST
+
+    def colsum(x):
+        return jnp.sum(x, axis=0, keepdims=True)       # (1, CHUNK)
+
+    # z chain: z = use3d ? su·Tw0 + sv·Tw1 + Tw2 : Tw2
+    dZ3 = jnp.where(use3d, dZ, 0.0)
+    d_su = dZ3 * Tw0
+    d_sv = dZ3 * Tw1
+    dTw0 = colsum(dZ3 * su)
+    dTw1 = colsum(dZ3 * sv)
+    dTw2 = colsum(dZ)
+    # alpha chain: alpha = min(CLAMP, opa·exp(−ρ/2))
+    gE = jnp.where(a_raw <= ALPHA_CLAMP, dA, 0.0)
+    d_opa = colsum(gE * eterm)
+    d_rho = -0.5 * gE * a_raw
+    d_rho3d = jnp.where(use3d, d_rho, 0.0)
+    d_rho2d = d_rho - d_rho3d
+    # 2D low-pass branch: ρ2d = FIS·(dx²+dy²), dx = cx − px
+    c2 = (2.0 * FILTER_INV_SQUARE) * d_rho2d
+    d_cx = colsum(c2 * dx)
+    d_cy = colsum(c2 * dy)
+    # 3D branch: ρ3d = su² + sv², su = clip(p0/p2)
+    d_su = jnp.where(cu_ok, d_su + 2.0 * su * d_rho3d, 0.0)
+    d_sv = jnp.where(cv_ok, d_sv + 2.0 * sv * d_rho3d, 0.0)
+    d_p0 = d_su * inv_safe
+    d_p1 = d_sv * inv_safe
+    d_p2 = jnp.where(pz_ok, -inv_safe * (d_su * su + d_sv * sv), 0.0)
+    # p_i = px·A_i + py·B_i + C_i  ⇒  [dA_i; dB_i; dC_i] = pxh @ d_p_i
+    dABC0 = jnp.dot(pxh, d_p0, preferred_element_type=jnp.float32,
+                    precision=HI)
+    dABC1 = jnp.dot(pxh, d_p1, preferred_element_type=jnp.float32,
+                    precision=HI)
+    dABC2 = jnp.dot(pxh, d_p2, preferred_element_type=jnp.float32,
+                    precision=HI)
+    dA0, dB0, dC0 = dABC0[0:1], dABC0[1:2], dABC0[2:3]
+    dA1, dB1, dC1 = dABC1[0:1], dABC1[1:2], dABC1[2:3]
+    dA2, dB2, dC2 = dABC2[0:1], dABC2[1:2], dABC2[2:3]
+    # Coefficient → T chain (each A/B/C is a 2-term cross-product minor).
+    dTu0 = Tw2 * dB1 - Tv2 * dC1 - Tw1 * dB2 + Tv1 * dC2
+    dTu1 = -Tw2 * dB0 + Tv2 * dC0 + Tw0 * dB2 - Tv0 * dC2
+    dTu2 = Tw1 * dB0 - Tv1 * dC0 - Tw0 * dB1 + Tv0 * dC1
+    dTv0 = -Tw2 * dA1 + Tu2 * dC1 + Tw1 * dA2 - Tu1 * dC2
+    dTv1 = Tw2 * dA0 - Tu2 * dC0 - Tw0 * dA2 + Tu0 * dC2
+    dTv2 = -Tw1 * dA0 + Tu1 * dC0 + Tw0 * dA1 - Tu0 * dC1
+    dTw0 = dTw0 + Tv2 * dA1 - Tu2 * dB1 - Tv1 * dA2 + Tu1 * dB2
+    dTw1 = dTw1 - Tv2 * dA0 + Tu2 * dB0 + Tv0 * dA2 - Tu0 * dB2
+    dTw2 = dTw2 + Tv1 * dA0 - Tu1 * dB0 - Tv0 * dA1 + Tu0 * dB1
+    return jnp.concatenate(
+        [dTu0, dTu1, dTu2, dTv0, dTv1, dTv2, dTw0, dTw1, dTw2,
+         d_cx, d_cy, d_opa],
+        axis=0,
+    )
 
 
 def _bwd_kernel(
@@ -117,7 +204,7 @@ def _bwd_kernel(
     # outputs (per-entry gradients in the sorted layout)
     dcomb_hbm,
     # scratch
-    comb_vmem, dcomb_vmem, old_d, state_ref, copy_sem, wr_sem,
+    comb_vmem, dcomb_vmem, old_d, state_ref, copy_sem, wr_sem, rmw_sem,
     *, near: float, far: float,
 ):
     del dinit_hbm
@@ -130,11 +217,12 @@ def _bwd_kernel(
     lin = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
     px = (tile_x0 + lin % TILE).astype(jnp.float32)
     py = (tile_y0 + lin // TILE).astype(jnp.float32)
+    pxh = jnp.concatenate([px, py, jnp.ones_like(px)], axis=1).T  # (3, NPIX)
 
     rowe = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     cole = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     ge_incl = (rowe >= cole).astype(jnp.float32)    # X @ ge → suffix incl (j≥k)
-    lt_strict = (rowe > cole).astype(jnp.float32)   # X @ lt → suffix (j>k)
+    lt_bf16 = (rowe > cole).astype(jnp.bfloat16)    # X @ lt → suffix (j>k)
     eidx = jax.lax.broadcasted_iota(jnp.int32, (NPIX, CHUNK), 1)
     HI = jax.lax.Precision.HIGHEST
 
@@ -183,9 +271,18 @@ def _bwd_kernel(
     state_ref[:] = jnp.zeros_like(state_ref)
     state_ref[5, :] = T_end[:, 0]
 
+    base0 = pl.multiple_of(abase0, CHUNK)
+
     @pl.when(n_chunks > 0)
     def _():
         start_read(n_chunks - 1)
+        # Prefetch the tile's first (floor-aligned) output window now — its
+        # read-modify-write merge only happens at the sweep's last step, so
+        # the read latency hides behind the whole tile. The previous grid
+        # step drained all its output DMAs, so this can't race its writes.
+        pltpu.make_async_copy(
+            dcomb_hbm.at[:, pl.ds(base0, CHUNK)], old_d, rmw_sem
+        ).start()
 
     def bwd_body(i, _):
         c = n_chunks - 1 - i
@@ -199,7 +296,7 @@ def _bwd_kernel(
                 start_read(c - 1)
 
             g = comb_vmem[jax.lax.rem(c, 2)]
-            alpha, z, live = _chunk_alpha_z(g, px, py, near)
+            alpha, z, live, saved = _chunk_geom_fwd(g, px, py, near)
             gpos = abase0 + c * CHUNK + eidx
             # Effective alpha: in the tile's range AND at-or-before each
             # pixel's last contributor (the forward early-stop set is exactly
@@ -223,22 +320,31 @@ def _bwd_kernel(
             m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
             mw = m * w
             m2w = m * m * w
+            wm2T = w * m * m * T_k
 
             # Suffix sums across chunks (strict within chunk + carried).
+            # Every u-independent scan rides ONE tall stacked matmul — the
+            # MXU prefers (4·NPIX, CHUNK)@(CHUNK, CHUNK) over four dispatches.
+            # bf16 operands + f32 accumulation: the 0/1 triangle is exact in
+            # bf16 and the suffix-sum operands only feed gradients (≤0.4%
+            # input rounding, well under the 2e-2 parity gate), so the MXU
+            # runs single-pass instead of HIGHEST's 3-pass f32 emulation.
+            S4 = jnp.dot(
+                jnp.concatenate([w, mw, m2w, wm2T], axis=0)
+                .astype(jnp.bfloat16),
+                lt_bf16,
+                preferred_element_type=jnp.float32,
+            )
             S_w_in = state_ref[1, :][:, None]
             S_mw_in = state_ref[2, :][:, None]
-            S_w = S_w_in + jnp.dot(w, lt_strict,
-                                   preferred_element_type=jnp.float32,
-                                   precision=HI)
-            S_mw = S_mw_in + jnp.dot(mw, lt_strict,
-                                     preferred_element_type=jnp.float32,
-                                     precision=HI)
+            S_m2w_in = state_ref[6, :][:, None]
+            S_wm2T_in = state_ref[3, :][:, None]
+            S_w = S_w_in + S4[0 * NPIX:1 * NPIX]
+            S_mw = S_mw_in + S4[1 * NPIX:2 * NPIX]
+            S_m2w = S_m2w_in + S4[2 * NPIX:3 * NPIX]
+            S_wm2T = S_wm2T_in + S4[3 * NPIX:4 * NPIX]
 
             # Prefix moments from the saved totals minus inclusive suffixes.
-            S_m2w_in = state_ref[6, :][:, None]
-            S_m2w = S_m2w_in + jnp.dot(m2w, lt_strict,
-                                       preferred_element_type=jnp.float32,
-                                       precision=HI)
             M1_k = M1_tot - (S_mw + mw)
             M2_k = M2_tot - (S_m2w + m2w)
             A_k = 1.0 - T_k
@@ -255,15 +361,9 @@ def _bwd_kernel(
                 P_k + m * m * S_w - 2.0 * m * S_mw
             )
             wu = w * u
-            wm2T = w * m * m * T_k
             S_wu_in = state_ref[0, :][:, None]
-            S_wm2T_in = state_ref[3, :][:, None]
-            S_wu = S_wu_in + jnp.dot(wu, lt_strict,
-                                     preferred_element_type=jnp.float32,
-                                     precision=HI)
-            S_wm2T = S_wm2T_in + jnp.dot(wm2T, lt_strict,
-                                         preferred_element_type=jnp.float32,
-                                         precision=HI)
+            S_wu = S_wu_in + jnp.dot(wu.astype(jnp.bfloat16), lt_bf16,
+                                     preferred_element_type=jnp.float32)
 
             one_m_a = jnp.maximum(1.0 - alpha_eff, 1e-3)
             dL_da = T_k * u + (
@@ -291,13 +391,11 @@ def _bwd_kernel(
             dL_da = jnp.where(contrib, dL_da, 0.0)
             dL_dz = jnp.where(contrib, dL_dz, 0.0)
 
-            # Geometry chain via AD of the intersection math; the masks are
-            # folded into the cotangents (alpha post-masking is where()s whose
-            # backward is exactly this masking).
-            _, vjp_fn = jax.vjp(
-                lambda gg: _chunk_alpha_z(gg, px, py, near)[:2], g
-            )
-            (dg,) = vjp_fn((dL_da, dL_dz))
+            # Geometry chain: hand-derived VJP reusing the forward's saved
+            # intermediates; the masks are folded into the cotangents (alpha
+            # post-masking is where()s whose backward is exactly this
+            # masking).
+            dg = _chunk_geom_bwd(g, saved, pxh, dL_da, dL_dz)
 
             d_rgb = jax.lax.dot_general(
                 gC, w, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -312,34 +410,52 @@ def _bwd_kernel(
                  jnp.zeros((COMB_F - 18, CHUNK), jnp.float32)], axis=0
             )
 
-            # First chunk may share its window with the previous tile's tail:
-            # read-modify-write with an in-range column mask. (Sequential
-            # grid ⇒ no races.)
+            # Output writes are double-buffered like the reads: stage into
+            # alternating slots, start the DMA, and only wait when a slot is
+            # about to be reused (two issues later) — a synchronous
+            # start();wait() per chunk serializes ~2 µs of DMA latency into
+            # every chunk step and was the single largest cost of this
+            # kernel. j is the issue order (the sweep runs c high→low).
+            j = n_chunks - 1 - c
+            wslot = jax.lax.rem(j, 2)
+            base = pl.multiple_of(abase0 + c * CHUNK, CHUNK)
+
+            @pl.when(j >= 2)
+            def _():
+                # Drain the DMA issued two steps ago on this slot (window
+                # offset differs, byte count — what the semaphore counts —
+                # is identical).
+                pltpu.make_async_copy(
+                    dcomb_vmem.at[wslot],
+                    dcomb_hbm.at[:, pl.ds(base, CHUNK)],
+                    wr_sem.at[wslot],
+                ).wait()
+
+            # First chunk may share its window with the previous tile's
+            # tail: read-modify-write with an in-range column mask.
+            # (Sequential grid + end-of-tile drain ⇒ no races.)
             col_in_range = (
                 (abase0 + c * CHUNK
                  + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1))
                 >= start
             )
-            base = pl.multiple_of(abase0 + c * CHUNK, CHUNK)
 
             @pl.when(c == 0)
             def _():
-                cp_od = pltpu.make_async_copy(
-                    dcomb_hbm.at[:, pl.ds(base, CHUNK)], old_d, wr_sem
-                )
-                cp_od.start()
-                cp_od.wait()
-                dcomb_vmem[:] = jnp.where(col_in_range, dcomb, old_d[:])
+                pltpu.make_async_copy(
+                    dcomb_hbm.at[:, pl.ds(base0, CHUNK)], old_d, rmw_sem
+                ).wait()
+                dcomb_vmem[wslot] = jnp.where(col_in_range, dcomb, old_d[:])
 
             @pl.when(c != 0)
             def _():
-                dcomb_vmem[:] = jnp.where(col_in_range, dcomb, 0.0)
+                dcomb_vmem[wslot] = jnp.where(col_in_range, dcomb, 0.0)
 
-            cp_dc = pltpu.make_async_copy(
-                dcomb_vmem, dcomb_hbm.at[:, pl.ds(base, CHUNK)], wr_sem
-            )
-            cp_dc.start()
-            cp_dc.wait()
+            pltpu.make_async_copy(
+                dcomb_vmem.at[wslot],
+                dcomb_hbm.at[:, pl.ds(base, CHUNK)],
+                wr_sem.at[wslot],
+            ).start()
 
             # Carries for the next (earlier) chunk.
             state_ref[0, :] = S_wu_in[:, 0] + jnp.sum(wu, axis=1)
@@ -353,7 +469,27 @@ def _bwd_kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, MAX_CHUNKS_PER_TILE, bwd_body, 0)
+    # Traced per-tile bound (mirrors the forward kernel): each tile sweeps
+    # only its own chunks; MAX_CHUNKS_PER_TILE is just the support ceiling.
+    jax.lax.fori_loop(0, n_chunks, bwd_body, 0)
+
+    # Drain the (up to two) outstanding output DMAs so the next grid step's
+    # RMW prefetch and staging-slot reuse cannot race this tile's writes.
+    @pl.when(n_chunks >= 1)
+    def _():
+        s = jax.lax.rem(n_chunks - 1, 2)
+        pltpu.make_async_copy(
+            dcomb_vmem.at[s], dcomb_hbm.at[:, pl.ds(base0, CHUNK)],
+            wr_sem.at[s],
+        ).wait()
+
+    @pl.when(n_chunks >= 2)
+    def _():
+        s = jax.lax.rem(n_chunks, 2)
+        pltpu.make_async_copy(
+            dcomb_vmem.at[s], dcomb_hbm.at[:, pl.ds(base0, CHUNK)],
+            wr_sem.at[s],
+        ).wait()
 
 
 @functools.partial(
@@ -394,11 +530,12 @@ def rasterize_backward_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, COMB_F, CHUNK), jnp.float32),   # read double buffer
-            pltpu.VMEM((COMB_F, CHUNK), jnp.float32),      # dcomb staging
+            pltpu.VMEM((2, COMB_F, CHUNK), jnp.float32),   # dcomb write dbuf
             pltpu.VMEM((COMB_F, CHUNK), jnp.float32),      # RMW old window
             pltpu.VMEM((7, NPIX), jnp.float32),            # suffix carries
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),   # read dbuf
+            pltpu.SemaphoreType.DMA((2,)),   # write dbuf
+            pltpu.SemaphoreType.DMA,         # RMW prefetch
         ],
     )
     dinit = jnp.zeros(comb.shape, jnp.float32)

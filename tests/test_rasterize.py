@@ -286,3 +286,36 @@ class TestGradients:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestManualGeomVJP:
+    """The Pallas backward kernel's hand-derived intersection VJP
+    (_chunk_geom_bwd) against jax.vjp over the same math."""
+
+    def test_matches_autodiff(self):
+        from g4splat_tpu.ops.rasterize_pallas import COMB_F
+        from g4splat_tpu.ops.rasterize_pallas_bwd import (
+            _chunk_geom_bwd,
+            _chunk_geom_fwd,
+        )
+
+        npix, chunk = 64, 32
+        rng = np.random.RandomState(0)
+        g = jnp.asarray(rng.randn(COMB_F, chunk) * 2.0, jnp.float32)
+        g = g.at[11].set(jnp.asarray(rng.rand(chunk), jnp.float32))
+        px = jnp.asarray(rng.rand(npix, 1) * 16, jnp.float32)
+        py = jnp.asarray(rng.rand(npix, 1) * 16, jnp.float32)
+        pxh = jnp.concatenate([px, py, jnp.ones_like(px)], axis=1).T
+        dA = jnp.asarray(rng.randn(npix, chunk), jnp.float32)
+        dZ = jnp.asarray(rng.randn(npix, chunk), jnp.float32)
+
+        _, vjp_fn = jax.vjp(
+            lambda gg: _chunk_geom_fwd(gg, px, py, 0.2)[:2], g
+        )
+        (dg_ad,) = vjp_fn((dA, dZ))
+        *_, saved = _chunk_geom_fwd(g, px, py, 0.2)
+        dg_man = _chunk_geom_bwd(g, saved, pxh, dA, dZ)
+        ad = np.asarray(dg_ad[:12])
+        man = np.asarray(dg_man)
+        rel = np.abs(ad - man) / (np.abs(ad) + 1e-3)
+        assert rel.max() < 1e-3
