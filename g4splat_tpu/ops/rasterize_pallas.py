@@ -112,17 +112,21 @@ def _render_kernel(
     # col 0: RAW transmittance carry (product of every live alpha — drives
     # the oracle's early-stop test, which is a *global* suffix of the raw
     # cumprod; dense oracle composite(), rasterize_dense.py:53-56).
-    # col 7: EFFECTIVE transmittance (frozen at each pixel's last kept entry)
-    # — the final_T / alpha the render reports.
+    # col 7: log of the EFFECTIVE transmittance (Σ log(1−α) over kept
+    # entries; exp'd once at tile end) — accumulating in log space lets the
+    # chunk contribution ride the stacked scan matmul instead of a lane-min.
     aux_ref[:, 0:1] = jnp.ones((NPIX, 1), jnp.float32)
-    aux_ref[:, 7:8] = jnp.ones((NPIX, 1), jnp.float32)
 
     # Triangular scan matrices (entry j contributes to prefix at entry i).
     rowe = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     cole = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     ut_incl = (rowe <= cole).astype(jnp.float32)   # X @ ut_incl = inclusive
-    ut_excl = (rowe < cole).astype(jnp.float32)    # X @ ut_excl = exclusive
-    HI = jax.lax.Precision.HIGHEST                 # DEFAULT adds bf16-cast passes and is *slower* here
+    # Measured on-chip: HIGHEST f32 matmuls are NOT the cost here — dispatch
+    # count and VPU lane reductions are. bf16 hi/lo two-pass splits and
+    # DEFAULT's cast passes both time *slower* than one HIGHEST dot; the wins
+    # are fewer dispatches (stacking) and fewer lane reductions (chunk totals
+    # read off the scan matmul's last column).
+    HI = jax.lax.Precision.HIGHEST
 
     eidx = jax.lax.broadcasted_iota(jnp.int32, (NPIX, CHUNK), 1)
 
@@ -216,50 +220,66 @@ def _render_kernel(
             log_om = jnp.log1p(-alpha)
             cum_incl = jnp.dot(log_om, ut_incl,
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=HI)
             T_incl = T_col * jnp.exp(cum_incl)
             skip = T_incl < T_EPS
-            T_excl = T_col * jnp.exp(cum_incl - log_om)
+            # exp(cum_incl − log_om) would be a second transcendental pass;
+            # T_excl = T_incl/(1−α) is one divide (α ≤ 0.99 keeps it safe).
+            T_excl = T_incl / (1.0 - alpha)
             alpha_eff = jnp.where(skip, 0.0, alpha)
             w = alpha_eff * T_excl                   # (NPIX, CHUNK)
 
-            # MXU accumulation: (NPIX, CHUNK) @ (CHUNK, VAL_F).
-            acc_ref[:, :] += jax.lax.dot_general(
-                w, g[12 : 12 + VAL_F],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=HI,
-            )
-
-            # Distortion moments (2DGS appendix; forward.cu:392-400): the two
-            # exclusive scans ride one stacked (2·NPIX, CHUNK) matmul.
+            # Per-entry distortion rows (2DGS appendix; forward.cu:392-400).
             m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
             mw = m * w
             m2w = m * m * w
-            cs_mw = jnp.dot(mw, ut_excl, preferred_element_type=jnp.float32,
-                            precision=HI)
-            cs_m2w = jnp.dot(m2w, ut_excl, preferred_element_type=jnp.float32,
-                             precision=HI)
+            wz = w * z
+            lea = jnp.where(skip, 0.0, log_om)     # log(1−α_eff)
+
+            # Median depth: last entry with incoming T > 0.5 (T monotone ⇒
+            # the pick row zb has one hot lane per pixel).
+            contrib = alpha_eff > 0.0
+            med_mask = (T_excl > 0.5) & contrib
+            best = jnp.max(jnp.where(med_mask, eidx, -1), axis=1, keepdims=True)
+            zb = jnp.where(eidx == best, z, 0.0)
+
+            # Distortion moments (2DGS appendix; forward.cu:392-400): the two
+            # exclusive scans ride one stacked (2·NPIX, CHUNK)@(CHUNK, CHUNK)
+            # matmul, and the ΣMw/ΣM²w chunk totals fall out of the scan's
+            # last column + last element. Micro-variants measured on-chip and
+            # rejected: replacing this scan with a closed form over chunk
+            # totals (+2 lane reductions) was +8 ms/frame; riding the other
+            # totals as extra scan rows was +7 ms (HIGHEST cost scales with
+            # row-tiles); bf16 casts of the big operands were +4 ms.
+            ut_excl = (rowe < cole).astype(jnp.float32)
+            acc_ref[:, :] += jax.lax.dot_general(
+                w, g[12 : 12 + VAL_F],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HI,
+            )
+            cs2 = jnp.dot(jnp.concatenate([mw, m2w], axis=0), ut_excl,
+                          preferred_element_type=jnp.float32, precision=HI)
+            cs_mw = cs2[:NPIX]
+            cs_m2w = cs2[NPIX:]
             M1_col = aux_ref[:, 2:3]
             M2_col = aux_ref[:, 3:4]
             A = 1.0 - T_excl
             dist_add = jnp.sum(
-                (m * m * A + (M2_col + cs_m2w) - 2.0 * m * (M1_col + cs_mw)) * w,
+                (m * m * A + (M2_col + cs_m2w)
+                 - 2.0 * m * (M1_col + cs_mw)) * w,
                 axis=1, keepdims=True,
             )
-            aux_ref[:, 1:2] += jnp.sum(w * z, axis=1, keepdims=True)
+            aux_ref[:, 1:2] += jnp.sum(wz, axis=1, keepdims=True)
             aux_ref[:, 4:5] += dist_add
-            aux_ref[:, 2:3] += jnp.sum(mw, axis=1, keepdims=True)
-            aux_ref[:, 3:4] += jnp.sum(m2w, axis=1, keepdims=True)
-
-            # Median depth: last entry with incoming T > 0.5.
-            contrib = alpha_eff > 0.0
-            med_mask = (T_excl > 0.5) & contrib
-            best = jnp.max(jnp.where(med_mask, eidx, -1), axis=1, keepdims=True)
-            z_at_best = jnp.sum(
-                jnp.where(eidx == best, z, 0.0), axis=1, keepdims=True
+            aux_ref[:, 2:3] += (cs_mw[:, CHUNK - 1 : CHUNK]
+                                + mw[:, CHUNK - 1 : CHUNK])
+            aux_ref[:, 3:4] += (cs_m2w[:, CHUNK - 1 : CHUNK]
+                                + m2w[:, CHUNK - 1 : CHUNK])
+            aux_ref[:, 5:6] = jnp.where(
+                best >= 0,
+                jnp.sum(zb, axis=1, keepdims=True),
+                aux_ref[:, 5:6],
             )
-            aux_ref[:, 5:6] = jnp.where(best >= 0, z_at_best, aux_ref[:, 5:6])
 
             # n_contrib (1-based global index of last contributor).
             lastc = jnp.max(
@@ -269,14 +289,11 @@ def _render_kernel(
             aux_ref[:, 6:7] = jnp.maximum(aux_ref[:, 6:7], lastc)
 
             # Carries: col 0 = raw cumprod (skip test, decays forever);
-            # col 7 = effective T, frozen at the last kept entry.
-            T_raw_next = T_col * jnp.exp(cum_incl[:, CHUNK - 1 : CHUNK])
+            # col 7 = log effective T (Σ kept log(1−α) — identical to the
+            # frozen-at-last-kept T because the raw cumprod is monotone).
+            T_raw_next = T_incl[:, CHUNK - 1 : CHUNK]
             aux_ref[:, 0:1] = T_raw_next
-            aux_ref[:, 7:8] = jnp.minimum(
-                aux_ref[:, 7:8],
-                jnp.min(jnp.where(skip, jnp.inf, T_incl), axis=1,
-                        keepdims=True),
-            )
+            aux_ref[:, 7:8] += jnp.sum(lea, axis=1, keepdims=True)
 
             live_next = jnp.max(T_raw_next) >= T_EPS
 
@@ -290,7 +307,7 @@ def _render_kernel(
     # kernel's `rounds`); n_chunks_max is just the padding-safe ceiling.
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    T_fin = aux_ref[:, 7:8]                           # effective final T
+    T_fin = jnp.exp(aux_ref[:, 7:8])                  # effective final T
     bg = bg_ref[0:1, :]                               # (1, VAL_F)
     out_vals_ref[0] = acc_ref[:] + T_fin * bg
     out_aux_ref[0] = jnp.concatenate(
@@ -518,14 +535,18 @@ def _render_pallas_impl(
         comb, binning.tile_start, binning.tile_count, bg,
         width, height, near, far, n_chunks_max,
     )
-    color = _assemble(out_vals[..., 0:3], gx, gy, width, height)
-    normal = _assemble(out_vals[..., 3:6], gx, gy, width, height)
-    depth_acc = _assemble(out_aux[..., 0], gx, gy, width, height)
-    alpha = _assemble(out_aux[..., 1], gx, gy, width, height)
-    dist = _assemble(out_aux[..., 2], gx, gy, width, height)
-    med = _assemble(out_aux[..., 3], gx, gy, width, height)
-    final_T = _assemble(out_aux[..., 4], gx, gy, width, height)
-    n_contrib = _assemble(out_aux[..., 5], gx, gy, width, height).astype(jnp.int32)
+    # ONE fused tile→image relayout for all 12 channels (eight separate
+    # _assemble transposes re-walk the same HBM eight times).
+    both = jnp.concatenate([out_vals[..., 0:6], out_aux[..., 0:6]], axis=-1)
+    img = _assemble(both, gx, gy, width, height)
+    color = img[..., 0:3]
+    normal = img[..., 3:6]
+    depth_acc = img[..., 6]
+    alpha = img[..., 7]
+    dist = img[..., 8]
+    med = img[..., 9]
+    final_T = img[..., 10]
+    n_contrib = img[..., 11].astype(jnp.int32)
     outputs = (color, alpha, normal, depth_acc, med, dist, final_T, n_contrib)
     if return_residuals:
         return outputs, (binning, comb, entry_valid, out_aux[..., 4:8])

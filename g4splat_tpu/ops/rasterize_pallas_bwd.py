@@ -140,7 +140,6 @@ def _chunk_geom_bwd(g, saved, pxh, dA, dZ):
     (su, sv, inv_safe, pz_ok, use3d, cu_ok, cv_ok, eterm, a_raw,
      dx, dy) = saved
     Tu0, Tu1, Tu2, Tv0, Tv1, Tv2, Tw0, Tw1, Tw2, _, _, _ = _rows(g)
-    HI = jax.lax.Precision.HIGHEST
 
     def colsum(x):
         return jnp.sum(x, axis=0, keepdims=True)       # (1, CHUNK)
@@ -168,16 +167,20 @@ def _chunk_geom_bwd(g, saved, pxh, dA, dZ):
     d_p0 = d_su * inv_safe
     d_p1 = d_sv * inv_safe
     d_p2 = jnp.where(pz_ok, -inv_safe * (d_su * su + d_sv * sv), 0.0)
-    # p_i = px·A_i + py·B_i + C_i  ⇒  [dA_i; dB_i; dC_i] = pxh @ d_p_i
-    dABC0 = jnp.dot(pxh, d_p0, preferred_element_type=jnp.float32,
-                    precision=HI)
-    dABC1 = jnp.dot(pxh, d_p1, preferred_element_type=jnp.float32,
-                    precision=HI)
-    dABC2 = jnp.dot(pxh, d_p2, preferred_element_type=jnp.float32,
-                    precision=HI)
-    dA0, dB0, dC0 = dABC0[0:1], dABC0[1:2], dABC0[2:3]
-    dA1, dB1, dC1 = dABC1[0:1], dABC1[1:2], dABC1[2:3]
-    dA2, dB2, dC2 = dABC2[0:1], dABC2[1:2], dABC2[2:3]
+    # p_i = px·A_i + py·B_i + C_i  ⇒  [dA_i; dB_i; dC_i] = pxh @ d_p_i — ONE
+    # stacked (3, NPIX)@(NPIX, 3·CHUNK) dispatch for all nine rows (dispatch
+    # count, not MXU passes, is what this kernel pays for).
+    K = d_p0.shape[1]
+    dABC = jnp.dot(
+        pxh, jnp.concatenate([d_p0, d_p1, d_p2], axis=1),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dA0, dB0, dC0 = dABC[0:1, :K], dABC[1:2, :K], dABC[2:3, :K]
+    dA1, dB1, dC1 = (dABC[0:1, K:2 * K], dABC[1:2, K:2 * K],
+                     dABC[2:3, K:2 * K])
+    dA2, dB2, dC2 = (dABC[0:1, 2 * K:], dABC[1:2, 2 * K:],
+                     dABC[2:3, 2 * K:])
     # Coefficient → T chain (each A/B/C is a 2-term cross-product minor).
     dTu0 = Tw2 * dB1 - Tv2 * dC1 - Tw1 * dB2 + Tv1 * dC2
     dTu1 = -Tw2 * dB0 + Tv2 * dC0 + Tw0 * dB2 - Tv0 * dC2
@@ -224,7 +227,6 @@ def _bwd_kernel(
     ge_incl = (rowe >= cole).astype(jnp.float32)    # X @ ge → suffix incl (j≥k)
     lt_bf16 = (rowe > cole).astype(jnp.bfloat16)    # X @ lt → suffix (j>k)
     eidx = jax.lax.broadcasted_iota(jnp.int32, (NPIX, CHUNK), 1)
-    HI = jax.lax.Precision.HIGHEST
 
     cot = cot_ref[0]                           # (NPIX, 16)
     gC = cot[:, 0:3]
@@ -313,7 +315,8 @@ def _bwd_kernel(
             # T at entry k = T_out_of_chunk / Π_{j≥k}(1−α_j).
             log_om = jnp.log1p(-alpha_eff)
             S_log = jnp.dot(log_om, ge_incl,
-                            preferred_element_type=jnp.float32, precision=HI)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
             T_out = state_ref[5, :][:, None]
             T_k = T_out * jnp.exp(-S_log)
             w = alpha_eff * T_k
@@ -349,15 +352,16 @@ def _bwd_kernel(
             M2_k = M2_tot - (S_m2w + m2w)
             A_k = 1.0 - T_k
 
-            c_rgb = g[12:15, :]
-            n_vec = g[15:18, :]
-            cgC = jnp.dot(gC, c_rgb, preferred_element_type=jnp.float32,
-                          precision=HI)
-            ngN = jnp.dot(gN, n_vec, preferred_element_type=jnp.float32,
-                          precision=HI)
+            # u's color+normal term cgC + ngN is a single stacked
+            # (NPIX, 6)@(6, CHUNK) bf16 matmul — the two are summed anyway.
+            cgn = jnp.dot(
+                jnp.concatenate([gC, gN], axis=1).astype(jnp.bfloat16),
+                g[12:18, :].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
 
             P_k = m * m * A_k + M2_k - 2.0 * m * M1_k
-            u = cgC + ngN + z * gD + gdist * (
+            u = cgn + z * gD + gdist * (
                 P_k + m * m * S_w - 2.0 * m * S_mw
             )
             wu = w * u
@@ -397,16 +401,16 @@ def _bwd_kernel(
             # masking).
             dg = _chunk_geom_bwd(g, saved, pxh, dL_da, dL_dz)
 
-            d_rgb = jax.lax.dot_general(
-                gC, w, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )
-            d_nrm = jax.lax.dot_general(
-                gN, w, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
+            # d_rgb/d_nrm share the (·,NPIX)@(NPIX,CHUNK) contraction with w:
+            # one stacked (6, NPIX)@(NPIX, CHUNK) single-pass bf16 matmul.
+            d_rgbn = jax.lax.dot_general(
+                jnp.concatenate([gC, gN], axis=1).astype(jnp.bfloat16),
+                w.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
             dcomb = jnp.concatenate(
-                [dg[0:12], d_rgb, d_nrm,
+                [dg[0:12], d_rgbn,
                  jnp.zeros((COMB_F - 18, CHUNK), jnp.float32)], axis=0
             )
 
@@ -457,15 +461,15 @@ def _bwd_kernel(
                 wr_sem.at[wslot],
             ).start()
 
-            # Carries for the next (earlier) chunk.
-            state_ref[0, :] = S_wu_in[:, 0] + jnp.sum(wu, axis=1)
-            state_ref[1, :] = S_w_in[:, 0] + jnp.sum(w, axis=1)
-            state_ref[2, :] = S_mw_in[:, 0] + jnp.sum(mw, axis=1)
-            state_ref[3, :] = S_wm2T_in[:, 0] + jnp.sum(wm2T, axis=1)
-            state_ref[6, :] = S_m2w_in[:, 0] + jnp.sum(m2w, axis=1)
-            state_ref[5, :] = (
-                T_out * jnp.exp(-jnp.sum(log_om, axis=1, keepdims=True))
-            )[:, 0]
+            # Carries for the next (earlier) chunk: the chunk totals are the
+            # strict-suffix scans' first column plus element 0 (and S_log's
+            # inclusive column 0 directly) — no extra lane reductions.
+            state_ref[0, :] = S_wu[:, 0] + wu[:, 0]
+            state_ref[1, :] = S_w[:, 0] + w[:, 0]
+            state_ref[2, :] = S_mw[:, 0] + mw[:, 0]
+            state_ref[3, :] = S_wm2T[:, 0] + wm2T[:, 0]
+            state_ref[6, :] = S_m2w[:, 0] + m2w[:, 0]
+            state_ref[5, :] = T_out[:, 0] * jnp.exp(-S_log[:, 0])
 
         return 0
 
