@@ -66,6 +66,7 @@ from g4splat_tpu.ops.rasterize_common import (
 from g4splat_tpu.ops.rasterize_pallas import CHUNK, COMB_F, NPIX
 
 MAX_CHUNKS_PER_TILE = 64   # gradient support cap: 8192 depth-sorted entries
+WSLOTS = 8                 # write-pipeline depth (see _bwd_kernel notes)
 
 
 def _rows(g):
@@ -128,10 +129,11 @@ def _chunk_geom_bwd(g, saved, pxh, dA, dZ):
 
     Mirrors the reference CUDA backward's analytic chain
     (diff-surfel-rasterization/cuda_rasterizer/backward.cu:350-520) in the
-    bilinear-plane form: the (NPIX, CHUNK) work is ~25 elementwise ops and
-    6 pixel-axis reductions; the p→(A,B,C) coefficient chain collapses to
-    three (3, NPIX)@(NPIX, CHUNK) matmuls against pxh = [px; py; 1], and the
-    coefficient→T chain is 36 FMAs on (1, CHUNK) vectors.
+    bilinear-plane form: the (NPIX, CHUNK) work is ~25 elementwise ops; the
+    p→(A,B,C) coefficient chain AND all six pixel-axis reductions ride one
+    (3, NPIX)@(NPIX, 9·CHUNK) matmul against pxh = [px; py; 1] (the ones row
+    doubles as the reducer), and the coefficient→T chain is 36 FMAs on
+    (1, CHUNK) vectors.
 
     dA, dZ are the alpha/z cotangents (already masked to the contributor
     set by the caller). Returns (12, CHUNK): dTu(3), dTv(3), dTw(3),
@@ -141,26 +143,17 @@ def _chunk_geom_bwd(g, saved, pxh, dA, dZ):
      dx, dy) = saved
     Tu0, Tu1, Tu2, Tv0, Tv1, Tv2, Tw0, Tw1, Tw2, _, _, _ = _rows(g)
 
-    def colsum(x):
-        return jnp.sum(x, axis=0, keepdims=True)       # (1, CHUNK)
-
     # z chain: z = use3d ? su·Tw0 + sv·Tw1 + Tw2 : Tw2
     dZ3 = jnp.where(use3d, dZ, 0.0)
     d_su = dZ3 * Tw0
     d_sv = dZ3 * Tw1
-    dTw0 = colsum(dZ3 * su)
-    dTw1 = colsum(dZ3 * sv)
-    dTw2 = colsum(dZ)
     # alpha chain: alpha = min(CLAMP, opa·exp(−ρ/2))
     gE = jnp.where(a_raw <= ALPHA_CLAMP, dA, 0.0)
-    d_opa = colsum(gE * eterm)
     d_rho = -0.5 * gE * a_raw
     d_rho3d = jnp.where(use3d, d_rho, 0.0)
     d_rho2d = d_rho - d_rho3d
     # 2D low-pass branch: ρ2d = FIS·(dx²+dy²), dx = cx − px
     c2 = (2.0 * FILTER_INV_SQUARE) * d_rho2d
-    d_cx = colsum(c2 * dx)
-    d_cy = colsum(c2 * dy)
     # 3D branch: ρ3d = su² + sv², su = clip(p0/p2)
     d_su = jnp.where(cu_ok, d_su + 2.0 * su * d_rho3d, 0.0)
     d_sv = jnp.where(cv_ok, d_sv + 2.0 * sv * d_rho3d, 0.0)
@@ -168,19 +161,33 @@ def _chunk_geom_bwd(g, saved, pxh, dA, dZ):
     d_p1 = d_sv * inv_safe
     d_p2 = jnp.where(pz_ok, -inv_safe * (d_su * su + d_sv * sv), 0.0)
     # p_i = px·A_i + py·B_i + C_i  ⇒  [dA_i; dB_i; dC_i] = pxh @ d_p_i — ONE
-    # stacked (3, NPIX)@(NPIX, 3·CHUNK) dispatch for all nine rows (dispatch
-    # count, not MXU passes, is what this kernel pays for).
+    # stacked (3, NPIX)@(NPIX, 9·CHUNK) dispatch for all nine rows AND the
+    # six pixel-axis reductions (dTw0-2, d_opa, d_cx, d_cy): pxh's third row
+    # is all-ones, so colsum(x) = (pxh @ x)[2] rides the same matmul — no
+    # separate reduction dispatches (a bf16 single-pass variant with
+    # tile-local coords measured only 0.5 ms faster — not worth the rounding).
     K = d_p0.shape[1]
     dABC = jnp.dot(
-        pxh, jnp.concatenate([d_p0, d_p1, d_p2], axis=1),
+        pxh,
+        jnp.concatenate(
+            [d_p0, d_p1, d_p2,
+             dZ3 * su, dZ3 * sv, dZ, gE * eterm, c2 * dx, c2 * dy],
+            axis=1,
+        ),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     dA0, dB0, dC0 = dABC[0:1, :K], dABC[1:2, :K], dABC[2:3, :K]
     dA1, dB1, dC1 = (dABC[0:1, K:2 * K], dABC[1:2, K:2 * K],
                      dABC[2:3, K:2 * K])
-    dA2, dB2, dC2 = (dABC[0:1, 2 * K:], dABC[1:2, 2 * K:],
-                     dABC[2:3, 2 * K:])
+    dA2, dB2, dC2 = (dABC[0:1, 2 * K:3 * K], dABC[1:2, 2 * K:3 * K],
+                     dABC[2:3, 2 * K:3 * K])
+    dTw0 = dABC[2:3, 3 * K:4 * K]
+    dTw1 = dABC[2:3, 4 * K:5 * K]
+    dTw2 = dABC[2:3, 5 * K:6 * K]
+    d_opa = dABC[2:3, 6 * K:7 * K]
+    d_cx = dABC[2:3, 7 * K:8 * K]
+    d_cy = dABC[2:3, 8 * K:9 * K]
     # Coefficient → T chain (each A/B/C is a 2-term cross-product minor).
     dTu0 = Tw2 * dB1 - Tv2 * dC1 - Tw1 * dB2 + Tv1 * dC2
     dTu1 = -Tw2 * dB0 + Tv2 * dC0 + Tw0 * dB2 - Tv0 * dC2
@@ -269,9 +276,12 @@ def _bwd_kernel(
             comb_vmem.at[slot], copy_sem.at[slot],
         ).wait()
 
-    # state rows: 0 S_wu, 1 S_w, 2 S_mw, 3 S_wm2T, 4 med_assigned, 5 T_out
+    # Carry state lives in the same (pixels-on-sublanes, channels-on-lanes)
+    # layout as all chunk compute — a (channels, NPIX) layout forces a
+    # lane↔sublane relayout on every read/write, which measured 15 ms/frame.
+    # cols: 0 S_wu, 1 S_w, 2 S_mw, 3 S_wm2T, 4 med_assigned, 5 T_out, 6 S_m2w
     state_ref[:] = jnp.zeros_like(state_ref)
-    state_ref[5, :] = T_end[:, 0]
+    state_ref[:, 5:6] = T_end
 
     base0 = pl.multiple_of(abase0, CHUNK)
 
@@ -289,187 +299,188 @@ def _bwd_kernel(
     def bwd_body(i, _):
         c = n_chunks - 1 - i
 
-        @pl.when(c >= 0)
+        wait_read(c)
+
+        @pl.when(c - 1 >= 0)
         def _():
-            wait_read(c)
+            start_read(c - 1)
 
-            @pl.when(c - 1 >= 0)
-            def _():
-                start_read(c - 1)
+        g = comb_vmem[jax.lax.rem(c, 2)]
+        alpha, z, live, saved = _chunk_geom_fwd(g, px, py, near)
+        gpos = abase0 + c * CHUNK + eidx
+        # Effective alpha: in the tile's range AND at-or-before each
+        # pixel's last contributor (the forward early-stop set is exactly
+        # {index > n_contrib}).
+        keep = (
+            live
+            & (gpos >= start)
+            & (gpos < start + count)
+            & ((gpos - start + 1).astype(jnp.float32) <= ncont)
+        )
+        alpha_eff = jnp.where(keep, alpha, 0.0)
 
-            g = comb_vmem[jax.lax.rem(c, 2)]
-            alpha, z, live, saved = _chunk_geom_fwd(g, px, py, near)
-            gpos = abase0 + c * CHUNK + eidx
-            # Effective alpha: in the tile's range AND at-or-before each
-            # pixel's last contributor (the forward early-stop set is exactly
-            # {index > n_contrib}).
-            keep = (
-                live
-                & (gpos >= start)
-                & (gpos < start + count)
-                & ((gpos - start + 1).astype(jnp.float32) <= ncont)
-            )
-            alpha_eff = jnp.where(keep, alpha, 0.0)
+        # Unwind transmittance from the back (the CUDA replay): incoming
+        # T at entry k = T_out_of_chunk / Π_{j≥k}(1−α_j).
+        log_om = jnp.log1p(-alpha_eff)
+        S_log = jnp.dot(log_om, ge_incl,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        T_out = state_ref[:, 5:6]
+        T_k = T_out * jnp.exp(-S_log)
+        w = alpha_eff * T_k
+        m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
+        mw = m * w
+        m2w = m * m * w
+        wm2T = w * m * m * T_k
 
-            # Unwind transmittance from the back (the CUDA replay): incoming
-            # T at entry k = T_out_of_chunk / Π_{j≥k}(1−α_j).
-            log_om = jnp.log1p(-alpha_eff)
-            S_log = jnp.dot(log_om, ge_incl,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            T_out = state_ref[5, :][:, None]
-            T_k = T_out * jnp.exp(-S_log)
-            w = alpha_eff * T_k
-            m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
-            mw = m * w
-            m2w = m * m * w
-            wm2T = w * m * m * T_k
+        # Suffix sums across chunks (strict within chunk + carried).
+        # Every u-independent scan rides ONE tall stacked matmul — the
+        # MXU prefers (4·NPIX, CHUNK)@(CHUNK, CHUNK) over four dispatches.
+        # bf16 operands + f32 accumulation: the 0/1 triangle is exact in
+        # bf16 and the suffix-sum operands only feed gradients (≤0.4%
+        # input rounding, well under the 2e-2 parity gate), so the MXU
+        # runs single-pass instead of HIGHEST's 3-pass f32 emulation.
+        S4 = jnp.dot(
+            jnp.concatenate([w, mw, m2w, wm2T], axis=0)
+            .astype(jnp.bfloat16),
+            lt_bf16,
+            preferred_element_type=jnp.float32,
+        )
+        S_w_in = state_ref[:, 1:2]
+        S_mw_in = state_ref[:, 2:3]
+        S_m2w_in = state_ref[:, 6:7]
+        S_wm2T_in = state_ref[:, 3:4]
+        S_w = S_w_in + S4[0 * NPIX:1 * NPIX]
+        S_mw = S_mw_in + S4[1 * NPIX:2 * NPIX]
+        S_m2w = S_m2w_in + S4[2 * NPIX:3 * NPIX]
+        S_wm2T = S_wm2T_in + S4[3 * NPIX:4 * NPIX]
 
-            # Suffix sums across chunks (strict within chunk + carried).
-            # Every u-independent scan rides ONE tall stacked matmul — the
-            # MXU prefers (4·NPIX, CHUNK)@(CHUNK, CHUNK) over four dispatches.
-            # bf16 operands + f32 accumulation: the 0/1 triangle is exact in
-            # bf16 and the suffix-sum operands only feed gradients (≤0.4%
-            # input rounding, well under the 2e-2 parity gate), so the MXU
-            # runs single-pass instead of HIGHEST's 3-pass f32 emulation.
-            S4 = jnp.dot(
-                jnp.concatenate([w, mw, m2w, wm2T], axis=0)
-                .astype(jnp.bfloat16),
-                lt_bf16,
-                preferred_element_type=jnp.float32,
-            )
-            S_w_in = state_ref[1, :][:, None]
-            S_mw_in = state_ref[2, :][:, None]
-            S_m2w_in = state_ref[6, :][:, None]
-            S_wm2T_in = state_ref[3, :][:, None]
-            S_w = S_w_in + S4[0 * NPIX:1 * NPIX]
-            S_mw = S_mw_in + S4[1 * NPIX:2 * NPIX]
-            S_m2w = S_m2w_in + S4[2 * NPIX:3 * NPIX]
-            S_wm2T = S_wm2T_in + S4[3 * NPIX:4 * NPIX]
+        # Prefix moments from the saved totals minus inclusive suffixes.
+        M1_k = M1_tot - (S_mw + mw)
+        M2_k = M2_tot - (S_m2w + m2w)
+        A_k = 1.0 - T_k
 
-            # Prefix moments from the saved totals minus inclusive suffixes.
-            M1_k = M1_tot - (S_mw + mw)
-            M2_k = M2_tot - (S_m2w + m2w)
-            A_k = 1.0 - T_k
+        # u's color+normal term cgC + ngN is a single stacked
+        # (NPIX, 6)@(6, CHUNK) bf16 matmul — the two are summed anyway.
+        cgn = jnp.dot(
+            jnp.concatenate([gC, gN], axis=1).astype(jnp.bfloat16),
+            g[12:18, :].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
 
-            # u's color+normal term cgC + ngN is a single stacked
-            # (NPIX, 6)@(6, CHUNK) bf16 matmul — the two are summed anyway.
-            cgn = jnp.dot(
-                jnp.concatenate([gC, gN], axis=1).astype(jnp.bfloat16),
-                g[12:18, :].astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
+        P_k = m * m * A_k + M2_k - 2.0 * m * M1_k
+        u = cgn + z * gD + gdist * (
+            P_k + m * m * S_w - 2.0 * m * S_mw
+        )
+        wu = w * u
+        S_wu_in = state_ref[:, 0:1]
+        S_wu = S_wu_in + jnp.dot(wu.astype(jnp.bfloat16), lt_bf16,
+                                 preferred_element_type=jnp.float32)
 
-            P_k = m * m * A_k + M2_k - 2.0 * m * M1_k
-            u = cgn + z * gD + gdist * (
-                P_k + m * m * S_w - 2.0 * m * S_mw
-            )
-            wu = w * u
-            S_wu_in = state_ref[0, :][:, None]
-            S_wu = S_wu_in + jnp.dot(wu.astype(jnp.bfloat16), lt_bf16,
-                                     preferred_element_type=jnp.float32)
+        one_m_a = jnp.maximum(1.0 - alpha_eff, 1e-3)
+        dL_da = T_k * u + (
+            -S_wu - gT_end * T_end + gdist * S_wm2T
+        ) / one_m_a
+        dL_dm = gdist * w * (
+            2.0 * m * A_k - 2.0 * M1_k + 2.0 * m * S_w - 2.0 * S_mw
+        )
+        dm_dz = far * near / ((far - near) * jnp.maximum(z, 1e-8) ** 2)
+        dL_dz = w * gD + dL_dm * dm_dz
 
-            one_m_a = jnp.maximum(1.0 - alpha_eff, 1e-3)
-            dL_da = T_k * u + (
-                -S_wu - gT_end * T_end + gdist * S_wm2T
-            ) / one_m_a
-            dL_dm = gdist * w * (
-                2.0 * m * A_k - 2.0 * M1_k + 2.0 * m * S_w - 2.0 * S_mw
-            )
-            dm_dz = far * near / ((far - near) * jnp.maximum(z, 1e-8) ** 2)
-            dL_dz = w * gD + dL_dm * dm_dz
+        # Median-depth gradient to the last T>0.5 contributor.
+        contrib = alpha_eff > 0.0
+        med_mask = (T_k > 0.5) & contrib
+        best = jnp.max(jnp.where(med_mask, eidx, -1), axis=1,
+                       keepdims=True)
+        not_assigned = state_ref[:, 4:5] < 0.5
+        is_med = (eidx == best) & (best >= 0) & not_assigned
+        dL_dz = dL_dz + jnp.where(is_med, gMed, 0.0)
+        state_ref[:, 4:5] = jnp.maximum(
+            state_ref[:, 4:5],
+            jnp.max(med_mask.astype(jnp.float32), axis=1, keepdims=True),
+        )
 
-            # Median-depth gradient to the last T>0.5 contributor.
-            contrib = alpha_eff > 0.0
-            med_mask = (T_k > 0.5) & contrib
-            best = jnp.max(jnp.where(med_mask, eidx, -1), axis=1,
-                           keepdims=True)
-            not_assigned = state_ref[4, :][:, None] < 0.5
-            is_med = (eidx == best) & (best >= 0) & not_assigned
-            dL_dz = dL_dz + jnp.where(is_med, gMed, 0.0)
-            state_ref[4, :] = jnp.maximum(
-                state_ref[4, :],
-                jnp.max(med_mask.astype(jnp.float32), axis=1),
-            )
+        dL_da = jnp.where(contrib, dL_da, 0.0)
+        dL_dz = jnp.where(contrib, dL_dz, 0.0)
 
-            dL_da = jnp.where(contrib, dL_da, 0.0)
-            dL_dz = jnp.where(contrib, dL_dz, 0.0)
+        # Geometry chain: hand-derived VJP reusing the forward's saved
+        # intermediates; the masks are folded into the cotangents (alpha
+        # post-masking is where()s whose backward is exactly this
+        # masking).
+        dg = _chunk_geom_bwd(g, saved, pxh, dL_da, dL_dz)
 
-            # Geometry chain: hand-derived VJP reusing the forward's saved
-            # intermediates; the masks are folded into the cotangents (alpha
-            # post-masking is where()s whose backward is exactly this
-            # masking).
-            dg = _chunk_geom_bwd(g, saved, pxh, dL_da, dL_dz)
+        # d_rgb/d_nrm share the (·,NPIX)@(NPIX,CHUNK) contraction with w:
+        # one stacked (6, NPIX)@(NPIX, CHUNK) single-pass bf16 matmul.
+        d_rgbn = jax.lax.dot_general(
+            jnp.concatenate([gC, gN], axis=1).astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dcomb = jnp.concatenate(
+            [dg[0:12], d_rgbn,
+             jnp.zeros((COMB_F - 18, CHUNK), jnp.float32)], axis=0
+        )
 
-            # d_rgb/d_nrm share the (·,NPIX)@(NPIX,CHUNK) contraction with w:
-            # one stacked (6, NPIX)@(NPIX, CHUNK) single-pass bf16 matmul.
-            d_rgbn = jax.lax.dot_general(
-                jnp.concatenate([gC, gN], axis=1).astype(jnp.bfloat16),
-                w.astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dcomb = jnp.concatenate(
-                [dg[0:12], d_rgbn,
-                 jnp.zeros((COMB_F - 18, CHUNK), jnp.float32)], axis=0
-            )
+        # Output writes are pipelined WSLOTS deep: stage into rotating
+        # slots, start the DMA, and only wait when a slot is about to be
+        # reused (WSLOTS issues later). Ablation on-chip showed write-DMA
+        # latency (~7 µs) cannot hide behind only two chunks of compute —
+        # the 2-slot version stalled ~3.5 µs/chunk on these waits; eight
+        # slots give the write ~8 chunk-times to land. j is the issue
+        # order (the sweep runs c high→low).
+        j = n_chunks - 1 - c
+        wslot = jax.lax.rem(j, WSLOTS)
+        base = pl.multiple_of(abase0 + c * CHUNK, CHUNK)
 
-            # Output writes are double-buffered like the reads: stage into
-            # alternating slots, start the DMA, and only wait when a slot is
-            # about to be reused (two issues later) — a synchronous
-            # start();wait() per chunk serializes ~2 µs of DMA latency into
-            # every chunk step and was the single largest cost of this
-            # kernel. j is the issue order (the sweep runs c high→low).
-            j = n_chunks - 1 - c
-            wslot = jax.lax.rem(j, 2)
-            base = pl.multiple_of(abase0 + c * CHUNK, CHUNK)
-
-            @pl.when(j >= 2)
-            def _():
-                # Drain the DMA issued two steps ago on this slot (window
-                # offset differs, byte count — what the semaphore counts —
-                # is identical).
-                pltpu.make_async_copy(
-                    dcomb_vmem.at[wslot],
-                    dcomb_hbm.at[:, pl.ds(base, CHUNK)],
-                    wr_sem.at[wslot],
-                ).wait()
-
-            # First chunk may share its window with the previous tile's
-            # tail: read-modify-write with an in-range column mask.
-            # (Sequential grid + end-of-tile drain ⇒ no races.)
-            col_in_range = (
-                (abase0 + c * CHUNK
-                 + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1))
-                >= start
-            )
-
-            @pl.when(c == 0)
-            def _():
-                pltpu.make_async_copy(
-                    dcomb_hbm.at[:, pl.ds(base0, CHUNK)], old_d, rmw_sem
-                ).wait()
-                dcomb_vmem[wslot] = jnp.where(col_in_range, dcomb, old_d[:])
-
-            @pl.when(c != 0)
-            def _():
-                dcomb_vmem[wslot] = jnp.where(col_in_range, dcomb, 0.0)
-
+        @pl.when(j >= WSLOTS)
+        def _():
+            # Drain the DMA issued WSLOTS steps ago on this slot (window
+            # offset differs, byte count — what the semaphore counts —
+            # is identical).
             pltpu.make_async_copy(
                 dcomb_vmem.at[wslot],
                 dcomb_hbm.at[:, pl.ds(base, CHUNK)],
                 wr_sem.at[wslot],
-            ).start()
+            ).wait()
 
-            # Carries for the next (earlier) chunk: the chunk totals are the
-            # strict-suffix scans' first column plus element 0 (and S_log's
-            # inclusive column 0 directly) — no extra lane reductions.
-            state_ref[0, :] = S_wu[:, 0] + wu[:, 0]
-            state_ref[1, :] = S_w[:, 0] + w[:, 0]
-            state_ref[2, :] = S_mw[:, 0] + mw[:, 0]
-            state_ref[3, :] = S_wm2T[:, 0] + wm2T[:, 0]
-            state_ref[6, :] = S_m2w[:, 0] + m2w[:, 0]
-            state_ref[5, :] = T_out[:, 0] * jnp.exp(-S_log[:, 0])
+        # First chunk may share its window with the previous tile's
+        # tail: read-modify-write with an in-range column mask.
+        # (Sequential grid + end-of-tile drain ⇒ no races.)
+        col_in_range = (
+            (abase0 + c * CHUNK
+             + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1))
+            >= start
+        )
+
+        @pl.when(c == 0)
+        def _():
+            pltpu.make_async_copy(
+                dcomb_hbm.at[:, pl.ds(base0, CHUNK)], old_d, rmw_sem
+            ).wait()
+            dcomb_vmem[wslot] = jnp.where(col_in_range, dcomb, old_d[:])
+
+        @pl.when(c != 0)
+        def _():
+            dcomb_vmem[wslot] = jnp.where(col_in_range, dcomb, 0.0)
+
+        pltpu.make_async_copy(
+            dcomb_vmem.at[wslot],
+            dcomb_hbm.at[:, pl.ds(base, CHUNK)],
+            wr_sem.at[wslot],
+        ).start()
+
+        # Carries for the next (earlier) chunk: the chunk totals are the
+        # strict-suffix scans' first column plus element 0 (and S_log's
+        # inclusive column 0 directly) — no extra lane reductions.
+        # Carries: totals = strict-suffix col 0 + element 0, all sliced in
+        # the native compute layout (no relayouts).
+        state_ref[:, 0:1] = S_wu[:, 0:1] + wu[:, 0:1]
+        state_ref[:, 1:2] = S_w[:, 0:1] + w[:, 0:1]
+        state_ref[:, 2:3] = S_mw[:, 0:1] + mw[:, 0:1]
+        state_ref[:, 3:4] = S_wm2T[:, 0:1] + wm2T[:, 0:1]
+        state_ref[:, 6:7] = S_m2w[:, 0:1] + m2w[:, 0:1]
+        state_ref[:, 5:6] = T_out * jnp.exp(-S_log[:, 0:1])
 
         return 0
 
@@ -477,23 +488,20 @@ def _bwd_kernel(
     # only its own chunks; MAX_CHUNKS_PER_TILE is just the support ceiling.
     jax.lax.fori_loop(0, n_chunks, bwd_body, 0)
 
-    # Drain the (up to two) outstanding output DMAs so the next grid step's
-    # RMW prefetch and staging-slot reuse cannot race this tile's writes.
-    @pl.when(n_chunks >= 1)
-    def _():
-        s = jax.lax.rem(n_chunks - 1, 2)
-        pltpu.make_async_copy(
-            dcomb_vmem.at[s], dcomb_hbm.at[:, pl.ds(base0, CHUNK)],
-            wr_sem.at[s],
-        ).wait()
-
-    @pl.when(n_chunks >= 2)
-    def _():
-        s = jax.lax.rem(n_chunks, 2)
-        pltpu.make_async_copy(
-            dcomb_vmem.at[s], dcomb_hbm.at[:, pl.ds(base0, CHUNK)],
-            wr_sem.at[s],
-        ).wait()
+    # Drain the (up to WSLOTS) outstanding output DMAs so the next grid
+    # step's RMW prefetch and staging-slot reuse cannot race this tile's
+    # writes. With j < WSLOTS never waited in-loop, slot k is outstanding
+    # exactly when the tile issued more than k writes.
+    for k in range(WSLOTS):
+        @pl.when(n_chunks >= k + 1)
+        def _(k=k):
+            s = jax.lax.rem(
+                jnp.maximum(n_chunks - WSLOTS, 0) + k, WSLOTS
+            )
+            pltpu.make_async_copy(
+                dcomb_vmem.at[s], dcomb_hbm.at[:, pl.ds(base0, CHUNK)],
+                wr_sem.at[s],
+            ).wait()
 
 
 @functools.partial(
@@ -534,11 +542,11 @@ def rasterize_backward_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, COMB_F, CHUNK), jnp.float32),   # read double buffer
-            pltpu.VMEM((2, COMB_F, CHUNK), jnp.float32),   # dcomb write dbuf
+            pltpu.VMEM((WSLOTS, COMB_F, CHUNK), jnp.float32),  # write slots
             pltpu.VMEM((COMB_F, CHUNK), jnp.float32),      # RMW old window
-            pltpu.VMEM((7, NPIX), jnp.float32),            # suffix carries
+            pltpu.VMEM((NPIX, 8), jnp.float32),            # suffix carries
             pltpu.SemaphoreType.DMA((2,)),   # read dbuf
-            pltpu.SemaphoreType.DMA((2,)),   # write dbuf
+            pltpu.SemaphoreType.DMA((WSLOTS,)),  # write slots
             pltpu.SemaphoreType.DMA,         # RMW prefetch
         ],
     )
