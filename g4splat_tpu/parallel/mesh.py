@@ -110,3 +110,60 @@ def data_parallel_train_step(mesh: Mesh, cfg, optimizer):
         return with_params(scene, params), opt_state, loss
 
     return jax.jit(step)
+
+
+def view_parallel_render(
+    mesh: Mesh,
+    scene,
+    cameras,
+    backend: str = "pallas",
+    keys: Sequence[str] = ("render", "rend_alpha", "rend_normal",
+                           "surf_depth"),
+):
+    """Render a batch of views with each device rendering its view shard.
+
+    Rendering many views (eval sweeps, TSDF integration over all train +
+    See3D cameras, dense-view mode) is embarrassingly parallel over the
+    `data` axis: the scene is replicated, the stacked camera pytree is
+    sharded on its leading axis, and every device runs the full single-view
+    rasterizer locally — no collectives at all, so throughput scales
+    linearly over ICI. (A vmapped batch on ONE device does NOT amortize:
+    the batched binning sort and the Mosaic grid both scale worse than
+    linearly, measured 48 ms/view at batch 4 vs 33 ms single.)
+
+    The number of views must be divisible by the mesh's `data` size; pad
+    with a repeated camera and drop the tail if needed. Returns a dict of
+    stacked (V, H, W[, C]) maps, sharded over `data`.
+    """
+    from g4splat_tpu.ops.rasterize import render
+
+    n_views = jax.tree.leaves(cameras)[0].shape[0]
+    n_data = mesh.shape["data"]
+    if n_views % n_data:
+        raise ValueError(
+            f"views ({n_views}) must divide over the data axis ({n_data})"
+        )
+
+    @partial(
+        jax.jit,
+        static_argnames=(),
+    )
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=P("data"),
+    )
+    def go(scene, cams):
+        b = jax.tree.leaves(cams)[0].shape[0]
+
+        def one(i):
+            cam = jax.tree.map(lambda x: x[i], cams)
+            out = render(cam, scene, backend=backend)
+            return tuple(out[k] for k in keys)
+
+        stacked = jax.lax.map(one, jnp.arange(b))
+        return stacked
+
+    outs = go(scene, cameras)
+    return dict(zip(keys, outs))

@@ -746,16 +746,50 @@ class G4SplatPipeline:
         return np.asarray(jnp.clip((out[0] + 1.0) / 2.0, 0, 1))
 
     def render_all(self, iteration: Optional[int] = None):
-        """Render train views (P14 render_multires --render_all_img)."""
+        """Render train views (P14 render_multires --render_all_img).
+
+        On a multi-device mesh the views fan out over the `data` axis
+        (parallel.mesh.view_parallel_render): the render sweep is
+        embarrassingly parallel, so wall-clock scales ~linearly with chips.
+        """
         from g4splat_tpu.ops.rasterize import render
         from g4splat_tpu.ops.rasterize_common import RenderConfig
 
         st = self.state
         it = iteration or self.cfg.train_iterations
         out_dir = self.store.renders_dir("train", it)
-        renders = []
+        n_views = st.input_view_num
+        n_dev = len(jax.devices())
         with self._timed("render_all"):
-            for v in range(st.input_view_num):
+            if n_dev > 1 and n_views >= n_dev:
+                from g4splat_tpu.parallel.mesh import (
+                    make_mesh, replicate, shard_batch, view_parallel_render,
+                )
+
+                mesh = make_mesh(n_data=n_dev)
+                # Pad the view batch up to a multiple of the mesh by
+                # repeating the last camera; drop the tail after gathering.
+                pad = (-n_views) % n_dev
+                cams = jax.tree.map(lambda x: x[:n_views], st.cameras)
+                if pad:
+                    cams = jax.tree.map(
+                        lambda x: jnp.concatenate(
+                            [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0
+                        ),
+                        cams,
+                    )
+                out = view_parallel_render(
+                    mesh, replicate(mesh, st.scene),
+                    shard_batch(mesh, cams),
+                    backend=self.cfg.render_backend, keys=("render",),
+                )
+                renders = np.asarray(out["render"])[:n_views]
+                for v in range(n_views):
+                    save_image(os.path.join(out_dir, f"{v:05d}.png"),
+                               renders[v])
+                return renders
+            renders = []
+            for v in range(n_views):
                 cam = jax.tree.map(lambda x: x[v], st.cameras)
                 out = render(cam, st.scene, config=RenderConfig(),
                              backend=self.cfg.render_backend)

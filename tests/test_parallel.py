@@ -12,6 +12,7 @@ from g4splat_tpu.parallel.mesh import (
     make_mesh,
     replicate,
     shard_batch,
+    view_parallel_render,
 )
 
 # The DP-equivalence test aborts inside XLA:CPU when run after ~15 other
@@ -100,6 +101,60 @@ class TestDataParallel:
         x = jnp.arange(16.0).reshape(16, 1)
         xs = shard_batch(mesh, x)
         assert len(xs.sharding.device_set) == 8
+
+    def test_view_parallel_render_matches_sequential(self):
+        from g4splat_tpu.core.cameras import lookat_camera, stack_cameras
+        from g4splat_tpu.models.gaussians import GaussianScene
+        from g4splat_tpu.ops.rasterize import render
+
+        rng = np.random.RandomState(3)
+        n = 96
+        scene = GaussianScene.from_points(
+            rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+            rng.rand(n, 3).astype(np.float32),
+            scales=np.full(n, 0.12, np.float32),
+            initial_opacity=0.8,
+        )
+        cams = [
+            lookat_camera(
+                [1.8 * np.sin(a), 0.1, -1.8 * np.cos(a)], [0, 0, 0],
+                [0, -1, 0], fx=40.0, fy=40.0, width=32, height=32,
+            )
+            for a in np.linspace(0, 1.5, 8)
+        ]
+        cameras = stack_cameras(cams)
+        mesh = make_mesh(n_data=8)
+        scene_r = replicate(mesh, scene)
+        cams_s = shard_batch(mesh, cameras)
+        out = view_parallel_render(mesh, scene_r, cams_s, backend="tiled")
+        assert out["render"].shape == (8, 32, 32, 3)
+        for i in (0, 3, 7):
+            ref = render(cams[i], scene, backend="tiled")
+            np.testing.assert_allclose(
+                np.asarray(out["render"][i]), np.asarray(ref["render"]),
+                atol=2e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out["surf_depth"][i]),
+                np.asarray(ref["surf_depth"]), atol=2e-3,
+            )
+
+    def test_view_parallel_render_rejects_indivisible(self):
+        from g4splat_tpu.core.cameras import lookat_camera, stack_cameras
+        from g4splat_tpu.models.gaussians import GaussianScene
+
+        scene = GaussianScene.from_points(
+            np.zeros((4, 3), np.float32), np.ones((4, 3), np.float32),
+            scales=np.full(4, 0.1, np.float32),
+        )
+        cams = [
+            lookat_camera([0, 0, -2], [0, 0, 0], [0, -1, 0],
+                          fx=20.0, fy=20.0, width=16, height=16)
+            for _ in range(3)
+        ]
+        mesh = make_mesh(n_data=8)
+        with pytest.raises(ValueError, match="divide"):
+            view_parallel_render(mesh, scene, stack_cameras(cams))
 
 
 if __name__ == "__main__":
