@@ -85,6 +85,15 @@ def _pack_entries(prep: Preprocessed, gid: jnp.ndarray, entry_valid: jnp.ndarray
     return jnp.take(table.T.astype(jnp.float32), gid, axis=1)
 
 
+def _interpret() -> bool:
+    """Pallas interpret mode on CPU (tests drive the production kernels).
+
+    Keyed on the CPU backend specifically — real TPU platforms report
+    different names ("tpu", "axon", …) and must all compile natively.
+    """
+    return jax.default_backend() == "cpu"
+
+
 def _render_kernel(
     # scalar prefetch
     tile_start_ref, tile_count_ref, tile_xy_ref,
@@ -377,6 +386,7 @@ def _rasterize_tiles_pallas(
             jax.ShapeDtypeStruct((n_tiles, NPIX, VAL_F), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, NPIX, 8), jnp.float32),
         ],
+        interpret=_interpret(),
     )(tile_start, tile_count, tile_xy, comb, bg_pad)
     return out_vals, out_aux
 

@@ -551,12 +551,15 @@ def rasterize_backward_pallas(
         ],
     )
     dinit = jnp.zeros(comb.shape, jnp.float32)
+    from g4splat_tpu.ops.rasterize_pallas import _interpret
+
     dcomb = pl.pallas_call(
         functools.partial(_bwd_kernel, near=near, far=far),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(comb.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         input_output_aliases={7: 0},   # dinit (operand index incl. 3 prefetch args)
+        interpret=_interpret(),
     )(tile_start, tile_count, tile_xy, comb, cotangents, aux_tail, bg_pad,
       dinit)
     return dcomb

@@ -5,8 +5,10 @@ TPU-native re-design of the reference's CUDA binning pipeline
 duplication → radix sort → per-tile ranges → per-tile compositing. The CUDA
 version uses CUB scans/sorts and dynamic allocations; here everything is
 static-shape: a fixed entry buffer, a per-splat tile cap, and a per-tile depth
-cap, with graceful drop of the *farthest* entries on overflow (they carry the
-least transmittance).
+cap. On entry-buffer overflow the kept prefix of the (tile, depth)-sorted
+keys survives — the largest keys (highest tile ids, then farthest depths)
+are dropped and counted in ``n_dropped``; size ``buf_size`` for zero drops
+in normal operation (default 4 entries per splat vs a ~3.2 mean).
 
 This backend is pure jax.numpy — XLA AD differentiates it — and doubles as the
 CPU/test fallback for the Pallas kernels, which consume the same binning.

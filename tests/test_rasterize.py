@@ -319,3 +319,129 @@ class TestManualGeomVJP:
         man = np.asarray(dg_man)
         rel = np.abs(ad - man) / (np.abs(ad) + 1e-3)
         assert rel.max() < 1e-3
+
+
+class TestCapacityPaths:
+    """Static-capacity overflow semantics: per-splat tile cap, entry-buffer
+    overflow, and the backward kernel's per-tile gradient-support cap."""
+
+    def _cam(self, wh=64, fl=60.0):
+        from g4splat_tpu.core.cameras import lookat_camera
+        return lookat_camera([0, 0, -3.0], [0, 0, 0], [0, -1, 0],
+                             fx=fl, fy=fl, width=wh, height=wh)
+
+    def test_tile_cap_truncation_reports_dropped(self):
+        # One huge splat spanning far more tiles than MAX_TILES_PER_SPLAT.
+        from g4splat_tpu.models.gaussians import GaussianScene
+        from g4splat_tpu.ops.rasterize import render
+        from g4splat_tpu.ops.rasterize_common import RenderConfig, preprocess
+        from g4splat_tpu.ops.rasterize_tiled import (
+            MAX_TILES_PER_SPLAT, bin_splats,
+        )
+
+        # scale 0.6 at z=3 with f=60 → ~36 px radius → ~6×6 tiles on a
+        # 128px (8×8-tile) image, well past the 16-tile cap. buf_size is
+        # passed explicitly: a 1-splat scene's default buffer (4·P) is
+        # smaller than the cap itself.
+        scene = GaussianScene.from_points(
+            np.zeros((1, 3), np.float32), np.ones((1, 3), np.float32),
+            scales=np.full(1, 0.6, np.float32), initial_opacity=0.9,
+        )
+        cam = self._cam(wh=128)
+        prep = preprocess(
+            cam, xyz=scene.xyz, scaling=scene.scaling(),
+            rotation_raw=scene.rotation_raw, opacity=scene.opacity(),
+            features=scene.features(), sh_degree=0, config=RenderConfig(),
+        )
+        binning = bin_splats(prep, cam.width, cam.height, buf_size=64)
+        n_entries = int(jnp.sum(binning.tile_count))
+        assert n_entries == MAX_TILES_PER_SPLAT  # capped, not the full cover
+        assert int(binning.n_dropped) > 0
+        out = render(cam, scene, backend="tiled")
+        assert np.isfinite(np.asarray(out["render"])).all()
+
+    def test_entry_buffer_overflow_counts_dropped(self):
+        from g4splat_tpu.models.gaussians import GaussianScene
+        from g4splat_tpu.ops.rasterize_common import RenderConfig, preprocess
+        from g4splat_tpu.ops.rasterize_tiled import bin_splats
+
+        rng = np.random.RandomState(0)
+        n = 64
+        scene = GaussianScene.from_points(
+            rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32),
+            rng.rand(n, 3).astype(np.float32),
+            scales=np.full(n, 0.25, np.float32), initial_opacity=0.8,
+        )
+        cam = self._cam()
+        prep = preprocess(
+            cam, xyz=scene.xyz, scaling=scene.scaling(),
+            rotation_raw=scene.rotation_raw, opacity=scene.opacity(),
+            features=scene.features(), sh_degree=0, config=RenderConfig(),
+        )
+        full = bin_splats(prep, cam.width, cam.height)
+        total = int(jnp.sum(full.tile_count))
+        assert total > 8, "scene too sparse for the overflow test"
+        small = bin_splats(prep, cam.width, cam.height, buf_size=8)
+        kept = int(jnp.sum(jnp.minimum(small.tile_count, 8)))
+        assert kept <= 8
+        assert int(small.n_dropped) >= total - 8
+        # The kept prefix is the lowest tile ids in sorted order.
+        tid = np.asarray(small.tile_id[:8])
+        assert (np.diff(tid) >= 0).all()
+
+    def test_gradient_support_cap_zeroes_tail(self, monkeypatch):
+        # Entries past MAX_CHUNKS_PER_TILE chunks get zero gradient but the
+        # forward still composites them; shrink the cap to keep the test
+        # small (3 chunks of entries vs a cap of 2).
+        import g4splat_tpu.ops.rasterize_pallas_bwd as rb
+        from g4splat_tpu.models.gaussians import GaussianScene
+        from g4splat_tpu.ops.rasterize import render
+
+        monkeypatch.setattr(rb, "MAX_CHUNKS_PER_TILE", 2)
+        rng = np.random.RandomState(1)
+        n = 3 * 128  # 3 chunks if every splat lands in one tile's range
+        scene = GaussianScene.from_points(
+            (rng.randn(n, 3) * np.array([0.002, 0.002, 0.3])).astype(
+                np.float32),
+            rng.rand(n, 3).astype(np.float32),
+            scales=np.full(n, 0.01, np.float32), initial_opacity=0.02,
+        )
+        cam = self._cam(wh=16, fl=30.0)
+
+        def loss(xyz, backend):
+            out = render(cam, scene.replace(xyz=xyz), backend=backend)
+            return jnp.mean(out["render"])
+
+        g = jax.grad(loss)(scene.xyz, "pallas")
+        g = np.asarray(g)
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0, "gradient identically zero"
+
+
+class TestPallasInterpretParity:
+    """The production Pallas kernels under interpret mode on CPU — a CI-level
+    guard; the authoritative on-chip gate is scripts/check_pallas.py."""
+
+    def test_forward_and_grads_match_tiled(self):
+        cam = simple_camera(w=48, h=32, f=45.0)
+        scene = random_scene(jax.random.PRNGKey(7), 120)
+        cfg = RenderConfig(bg=jnp.array([0.05, 0.1, 0.15]))
+        tiled = render(cam, scene, config=cfg, backend="tiled")
+        pallas = render(cam, scene, config=cfg, backend="pallas")
+        for k in ["render", "rend_alpha", "rend_dist", "surf_depth",
+                  "final_T"]:
+            np.testing.assert_allclose(
+                np.asarray(pallas[k]), np.asarray(tiled[k]), atol=2e-4,
+                err_msg=k,
+            )
+
+        def loss(xyz, backend):
+            out = render(cam, scene.replace(xyz=xyz), config=cfg,
+                         backend=backend)
+            return (jnp.mean(out["render"] ** 2)
+                    + 0.05 * jnp.mean(out["rend_dist"]))
+
+        gt = np.asarray(jax.grad(loss)(scene.xyz, "tiled"))
+        gp = np.asarray(jax.grad(loss)(scene.xyz, "pallas"))
+        rel = np.linalg.norm(gp - gt) / (np.linalg.norm(gt) + 1e-12)
+        assert rel < 5e-3, rel
