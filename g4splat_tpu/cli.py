@@ -32,6 +32,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--randomize_images", action="store_true")
     p.add_argument("--dense_supervision", action="store_true")
     p.add_argument("--use_dense_view", action="store_true")
+    p.add_argument("--dense_regul", type=str, default="default",
+                   choices=["default", "strong", "weak", "none"],
+                   help="accepted for reference flag parity (the reference "
+                        "trainer receives but never reads it)")
+    p.add_argument("--no_interpolated_views", action="store_true",
+                   help="disable interpolated cameras in mesh extraction")
+    p.add_argument("--downweight_input_view_color_loss", action="store_true",
+                   help="x0.01 color loss on input views too "
+                        "(train_with_refine_depth.py:384)")
     p.add_argument("--use_multires_tsdf", action="store_true")
     p.add_argument("--use_mesh_filter", action="store_true")
     p.add_argument("--sfm_config", type=str, default="unposed",
@@ -147,6 +156,9 @@ def main(argv=None):
         tetra_downsample_ratio=args.tetra_downsample_ratio,
         select_inpaint_num=args.select_inpaint_num,
         use_dense_view=args.use_dense_view,
+        dense_regul=args.dense_regul,
+        use_interpolated_views=not args.no_interpolated_views,
+        downweight_input_view_color_loss=args.downweight_input_view_color_loss,
         use_mesh_filter=args.use_mesh_filter,
         use_multires_tsdf=args.use_multires_tsdf,
         use_downsample_gaussians=args.use_downsample_gaussians,

@@ -70,6 +70,15 @@ class PipelineConfig:
     warp_depth_error_thresh: float = 0.01
     warp_downsample_pixel_grid_size: int = -1
     depthanything_encoder: str = "vitl"
+    # ×0.01 color loss on INPUT views too, not only generated ones
+    # (train_with_refine_depth.py:384)
+    downweight_input_view_color_loss: bool = False
+    # interpolated cameras between input neighbors for the TSDF view set
+    # (reference default ON; train.py:205)
+    use_interpolated_views: bool = True
+    # accepted for reference flag parity; the reference trainer receives it
+    # but never reads it (train_with_refine_depth.py:76 — dead parameter)
+    dense_regul: str = "default"
     # Working resolution knobs (reference: SfM at 512, charts at pointmap res)
     work_size: int = 512
     train_iterations: int = 7000
@@ -164,7 +173,8 @@ class G4SplatPipeline:
         self.state.images = np.asarray(images, np.float32)
         self.state.cameras = cameras
         self.state.input_view_num = len(images)
-        self.state.color_weights = np.ones(len(images), np.float32)
+        w0 = 0.01 if self.cfg.downweight_input_view_color_loss else 1.0
+        self.state.color_weights = np.full(len(images), w0, np.float32)
 
     def run_sfm(self):
         """MASt3R-SfM (P2): pairs → pointmaps → correspondences → sparse
@@ -695,7 +705,8 @@ class G4SplatPipeline:
             st.prior_depths = st.depths.copy()
             st.cameras = dense_cameras
             st.input_view_num = n
-            st.color_weights = np.ones(n, np.float32)
+            w0 = 0.01 if self.cfg.downweight_input_view_color_loss else 1.0
+            st.color_weights = np.full(n, w0, np.float32)
             normals, curvs = [], []
             for v in range(n):
                 cam = jax.tree.map(lambda x: x[v], st.cameras)
@@ -820,6 +831,7 @@ class G4SplatPipeline:
                     MeshExtractionConfig(
                         downsample_ratio=cfg.tetra_downsample_ratio,
                         backend=cfg.render_backend,
+                        use_interpolated_views=cfg.use_interpolated_views,
                     ),
                 )
             if cfg.use_mesh_filter:
