@@ -33,7 +33,11 @@ def render(
     center_offset: Optional[jnp.ndarray] = None,
     override_color: Optional[jnp.ndarray] = None,
     backend: str = "tiled",
+    need_aux: bool = True,
 ) -> Dict[str, jnp.ndarray]:
+    """need_aux=False selects the non-differentiable inference kernel on the
+    pallas backend (no distortion / n_contrib — those outputs are zeros);
+    other backends ignore it (XLA dead-code-eliminates unused outputs)."""
     config = config or RenderConfig()
     H, W = camera.height, camera.width
 
@@ -73,7 +77,8 @@ def render(
         from g4splat_tpu.ops.rasterize_pallas import render_pallas
 
         color, alpha, normal_cam, depth_acc, median_depth, distortion, final_T, n_contrib = (
-            render_pallas(camera, prep, bg, near=config.near, far=config.far)
+            render_pallas(camera, prep, bg, near=config.near, far=config.far,
+                          need_aux=need_aux)
         )
     else:
         raise ValueError(f"unknown backend {backend!r}")

@@ -58,7 +58,8 @@ GEOM_F = 16                 # legacy geometry row budget (bwd kernel scratch)
 VAL_F = 8                   # r g b nx ny nz (pad to 8) — output channel count
 
 
-def _pack_entries(prep: Preprocessed, gid: jnp.ndarray, entry_valid: jnp.ndarray):
+def _pack_entries(prep: Preprocessed, gid: jnp.ndarray, entry_valid: jnp.ndarray,
+                  slim: bool = False):
     """Gather per-entry features into one lane-major (COMB_F, E) table.
 
     One column-gather from a pre-concatenated per-splat feature table — a
@@ -67,21 +68,26 @@ def _pack_entries(prep: Preprocessed, gid: jnp.ndarray, entry_valid: jnp.ndarray
     opacity; sorted-buffer padding entries (entry_valid=False) sit past every
     tile's [start, start+count) range, so the kernel's in_count mask already
     excludes them — no per-entry masking needed here.
+
+    slim=True (inference kernel): 16 rows [T(9), opa, rgb(3), normal(3)] —
+    two sublane tiles instead of three (gather cost scales with ⌈rows/8⌉);
+    the low-pass center is recomputed from the T rows inside the kernel.
     """
     del entry_valid
     P = prep.depth.shape[0]
     opa = jnp.where(prep.valid, prep.opacity, 0.0)
-    table = jnp.concatenate(
-        [
+    if slim:
+        fields = [prep.T.reshape(P, 9), opa[:, None], prep.rgb, prep.normal]
+    else:
+        fields = [
             prep.T.reshape(P, 9),
             prep.center,
             opa[:, None],
             prep.rgb,
             prep.normal,
             jnp.zeros((P, COMB_F - 18)),
-        ],
-        axis=1,
-    )
+        ]
+    table = jnp.concatenate(fields, axis=1)
     return jnp.take(table.T.astype(jnp.float32), gid, axis=1)
 
 
@@ -103,7 +109,7 @@ def _render_kernel(
     out_vals_ref, out_aux_ref,
     # scratch
     comb_vmem, acc_ref, aux_ref, copy_sem,
-    *, near: float, far: float, n_chunks_max: int,
+    *, near: float, far: float, n_chunks_max: int, want_aux: bool = True,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -177,8 +183,6 @@ def _render_kernel(
             wait_copy(c)
 
             g = comb_vmem[jax.lax.rem(c, 2)]        # (COMB_F, CHUNK)
-            gpos = abase0 + c * CHUNK + eidx        # global entry positions
-            in_count = (gpos >= start) & (gpos < start + count)
 
             def row(i):
                 return g[i, :][None, :]             # (1, CHUNK)
@@ -186,7 +190,33 @@ def _render_kernel(
             Tu0, Tu1, Tu2 = row(0), row(1), row(2)
             Tv0, Tv1, Tv2 = row(3), row(4), row(5)
             Tw0, Tw1, Tw2 = row(6), row(7), row(8)
-            cx, cy, opa = row(9), row(10), row(11)
+            if want_aux:
+                cx, cy, opa = row(9), row(10), row(11)
+            else:
+                # Slim 16-row table: recompute the low-pass center from the
+                # T rows (preprocess dual-conic math, forward.cu:119-147) on
+                # (1, CHUNK) vectors — ~12 row ops versus a whole extra
+                # sublane tile in the entry gather.
+                opa = row(9)
+                C2 = 9.0  # CUTOFF²
+                dist = C2 * (Tw0 * Tw0 + Tw1 * Tw1) - Tw2 * Tw2
+                cok = jnp.abs(dist) > 1e-12
+                cinv = 1.0 / jnp.where(cok, dist, 1.0)
+                cx = jnp.where(
+                    cok,
+                    (C2 * (Tu0 * Tw0 + Tu1 * Tw1) - Tu2 * Tw2) * cinv, 0.0,
+                )
+                cy = jnp.where(
+                    cok,
+                    (C2 * (Tv0 * Tw0 + Tv1 * Tw1) - Tv2 * Tw2) * cinv, 0.0,
+                )
+            # In-range test depends only on the lane (entry), not the pixel:
+            # evaluate it on a (1, CHUNK) row and fold it into the opacity so
+            # the big (NPIX, CHUNK) mask passes below stay untouched.
+            erow = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            gpos_row = abase0 + c * CHUNK + erow
+            in_row = (gpos_row >= start) & (gpos_row < start + count)
+            opa = jnp.where(in_row, opa, 0.0)
 
             # The homogeneous ray-splat planes p = (x·Tw−Tu)×(y·Tw−Tv) are
             # *bilinear* in (x, y) — the x·y terms cancel — so hoist the 9
@@ -206,9 +236,14 @@ def _render_kernel(
             p1 = px * A1 + py * B1 + C1
             p2 = px * A2 + py * B2 + C2
             pz_ok = jnp.abs(p2) >= 1e-20
-            safe = jnp.where(pz_ok, p2, 1.0)
-            su = jnp.clip(p0 / safe, -3e4, 3e4)
-            sv = jnp.clip(p1 / safe, -3e4, 3e4)
+            # One reciprocal shared by su and sv (a second divide pass costs
+            # a full VPU sweep). No ±3e4 clips: overflow drives rho3d→inf,
+            # which loses the min() against rho2d, and the NaN-able z3d
+            # (inf·0) is only ever selected when use3d is true (rho3d
+            # finite) — verified against the dense oracle.
+            inv = 1.0 / jnp.where(pz_ok, p2, 1.0)
+            su = p0 * inv
+            sv = p1 * inv
             rho3d = su * su + sv * sv
             dx = cx - px
             dy = cy - py
@@ -217,7 +252,7 @@ def _render_kernel(
             rho = jnp.minimum(rho3d, rho2d)
             z = jnp.where(use3d, su * Tw0 + sv * Tw1 + Tw2, Tw2)
             alpha = jnp.minimum(ALPHA_CLAMP, opa * jnp.exp(-0.5 * rho))
-            live = pz_ok & (z >= near) & (alpha >= ALPHA_EPS) & in_count
+            live = pz_ok & (z >= near) & (alpha >= ALPHA_EPS)
             alpha = jnp.where(live, alpha, 0.0)
 
             # ONE log-space triangular matmul gives the inclusive prefix of
@@ -238,10 +273,6 @@ def _render_kernel(
             alpha_eff = jnp.where(skip, 0.0, alpha)
             w = alpha_eff * T_excl                   # (NPIX, CHUNK)
 
-            # Per-entry distortion rows (2DGS appendix; forward.cu:392-400).
-            m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
-            mw = m * w
-            m2w = m * m * w
             wz = w * z
             lea = jnp.where(skip, 0.0, log_om)     # log(1−α_eff)
 
@@ -260,42 +291,54 @@ def _render_kernel(
             # totals (+2 lane reductions) was +8 ms/frame; riding the other
             # totals as extra scan rows was +7 ms (HIGHEST cost scales with
             # row-tiles); bf16 casts of the big operands were +4 ms.
-            ut_excl = (rowe < cole).astype(jnp.float32)
-            acc_ref[:, :] += jax.lax.dot_general(
-                w, g[12 : 12 + VAL_F],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )
-            cs2 = jnp.dot(jnp.concatenate([mw, m2w], axis=0), ut_excl,
-                          preferred_element_type=jnp.float32, precision=HI)
-            cs_mw = cs2[:NPIX]
-            cs_m2w = cs2[NPIX:]
-            M1_col = aux_ref[:, 2:3]
-            M2_col = aux_ref[:, 3:4]
-            A = 1.0 - T_excl
-            dist_add = jnp.sum(
-                (m * m * A + (M2_col + cs_m2w)
-                 - 2.0 * m * (M1_col + cs_mw)) * w,
-                axis=1, keepdims=True,
-            )
+            if want_aux:
+                acc_ref[:, :] += jax.lax.dot_general(
+                    w, g[12 : 12 + VAL_F],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HI,
+                )
+            else:
+                acc_ref[:, 0:6] += jax.lax.dot_general(
+                    w, g[10:16],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=HI,
+                )
+            if want_aux:
+                # Per-entry distortion rows (2DGS appendix;
+                # forward.cu:392-400).
+                m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
+                mw = m * w
+                m2w = m * m * w
+                ut_excl = (rowe < cole).astype(jnp.float32)
+                cs2 = jnp.dot(jnp.concatenate([mw, m2w], axis=0), ut_excl,
+                              preferred_element_type=jnp.float32, precision=HI)
+                cs_mw = cs2[:NPIX]
+                cs_m2w = cs2[NPIX:]
+                M1_col = aux_ref[:, 2:3]
+                M2_col = aux_ref[:, 3:4]
+                A = 1.0 - T_excl
+                dist_add = jnp.sum(
+                    (m * m * A + (M2_col + cs_m2w)
+                     - 2.0 * m * (M1_col + cs_mw)) * w,
+                    axis=1, keepdims=True,
+                )
+                aux_ref[:, 4:5] += dist_add
+                aux_ref[:, 2:3] += (cs_mw[:, CHUNK - 1 : CHUNK]
+                                    + mw[:, CHUNK - 1 : CHUNK])
+                aux_ref[:, 3:4] += (cs_m2w[:, CHUNK - 1 : CHUNK]
+                                    + m2w[:, CHUNK - 1 : CHUNK])
+                # n_contrib (1-based global index of last contributor).
+                lastc = jnp.max(
+                    jnp.where(contrib, gpos_row - start + 1, 0),
+                    axis=1, keepdims=True,
+                ).astype(jnp.float32)
+                aux_ref[:, 6:7] = jnp.maximum(aux_ref[:, 6:7], lastc)
             aux_ref[:, 1:2] += jnp.sum(wz, axis=1, keepdims=True)
-            aux_ref[:, 4:5] += dist_add
-            aux_ref[:, 2:3] += (cs_mw[:, CHUNK - 1 : CHUNK]
-                                + mw[:, CHUNK - 1 : CHUNK])
-            aux_ref[:, 3:4] += (cs_m2w[:, CHUNK - 1 : CHUNK]
-                                + m2w[:, CHUNK - 1 : CHUNK])
             aux_ref[:, 5:6] = jnp.where(
                 best >= 0,
                 jnp.sum(zb, axis=1, keepdims=True),
                 aux_ref[:, 5:6],
             )
-
-            # n_contrib (1-based global index of last contributor).
-            lastc = jnp.max(
-                jnp.where(contrib, gpos - start + 1, 0),
-                axis=1, keepdims=True,
-            ).astype(jnp.float32)
-            aux_ref[:, 6:7] = jnp.maximum(aux_ref[:, 6:7], lastc)
 
             # Carries: col 0 = raw cumprod (skip test, decays forever);
             # col 7 = log effective T (Σ kept log(1−α) — identical to the
@@ -336,7 +379,8 @@ def _render_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "near", "far", "n_chunks_max"),
+    static_argnames=("width", "height", "near", "far", "n_chunks_max",
+                     "want_aux"),
 )
 def _rasterize_tiles_pallas(
     comb: jnp.ndarray,        # (COMB_F, E) sorted, E multiple of CHUNK
@@ -348,6 +392,7 @@ def _rasterize_tiles_pallas(
     near: float,
     far: float,
     n_chunks_max: int,
+    want_aux: bool = True,
 ):
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
@@ -371,7 +416,7 @@ def _rasterize_tiles_pallas(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, COMB_F, CHUNK), jnp.float32),  # double buffer
+            pltpu.VMEM((2, comb.shape[0], CHUNK), jnp.float32),  # double buffer
             pltpu.VMEM((NPIX, VAL_F), jnp.float32),
             pltpu.VMEM((NPIX, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -379,7 +424,8 @@ def _rasterize_tiles_pallas(
     )
     out_vals, out_aux = pl.pallas_call(
         functools.partial(
-            _render_kernel, near=near, far=far, n_chunks_max=n_chunks_max
+            _render_kernel, near=near, far=far, n_chunks_max=n_chunks_max,
+            want_aux=want_aux,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -515,7 +561,17 @@ def render_pallas(
     near: float = NEAR_N,
     far: float = FAR_N,
     buf_size: int | None = None,
+    need_aux: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
+    if not need_aux:
+        # Inference path (render_all / eval / TSDF sweeps / bench): skips the
+        # distortion-moment scan and n_contrib bookkeeping inside the kernel
+        # (those channels return zeros) and has no VJP — callers that need
+        # gradients or rend_dist use the default path.
+        return _render_pallas_impl(
+            camera.width, camera.height, prep, bg, near, far,
+            want_aux=False,
+        )
     return _render_pallas_diff(
         (camera.width, camera.height, near, far), prep, bg
     )
@@ -530,20 +586,22 @@ def _render_pallas_impl(
     far: float = FAR_N,
     buf_size: int | None = None,
     return_residuals: bool = False,
+    want_aux: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
     binning = bin_splats(prep, width, height, buf_size=buf_size)
     n_tiles = gx * gy
     entry_valid = binning.tile_id < n_tiles
-    comb = _pack_entries(prep, binning.gauss_id, entry_valid)
+    comb = _pack_entries(prep, binning.gauss_id, entry_valid,
+                         slim=not want_aux)
     pad = (-comb.shape[1]) % CHUNK
     if pad:
         comb = jnp.pad(comb, ((0, 0), (0, pad)))
     n_chunks_max = comb.shape[1] // CHUNK
     out_vals, out_aux = _rasterize_tiles_pallas(
         comb, binning.tile_start, binning.tile_count, bg,
-        width, height, near, far, n_chunks_max,
+        width, height, near, far, n_chunks_max, want_aux,
     )
     # ONE fused tile→image relayout for all 12 channels (eight separate
     # _assemble transposes re-walk the same HBM eight times).

@@ -37,10 +37,30 @@ def main():
     for backend in ("tiled", "pallas"):
         f = jax.jit(lambda s, b=backend: render(cam, s, backend=b))
         outs[backend] = jax.tree.map(np.asarray, f(scene))
+    f_slim = jax.jit(
+        lambda s: render(cam, s, backend="pallas", need_aux=False))
+    outs["pallas_slim"] = jax.tree.map(np.asarray, f_slim(scene))
 
     keys = ["render", "rend_alpha", "rend_normal", "rend_depth",
             "depth_median", "rend_dist", "surf_depth", "final_T"]
+    # The slim inference kernel skips the distortion / n_contrib channels;
+    # everything else must match the oracle to the same bound.
+    slim_keys = [k for k in keys if k != "rend_dist"]
     fail = False
+    for k in slim_keys:
+        a, b = outs["tiled"][k], outs["pallas_slim"][k]
+        err = np.abs(a - b)
+        scale = max(1.0, float(np.max(np.abs(a))))
+        if k == "depth_median":
+            frac = float(np.mean(err > 6e-3 * scale))
+            ok = frac < 1e-3
+            print(f"slim {k:12s} mismatch frac={frac:.2e}"
+                  f"  {'ok' if ok else 'FAIL'}")
+        else:
+            ok = np.max(err) <= 6e-3 * scale
+            print(f"slim {k:12s} max|Δ|={np.max(err):.3e}"
+                  f"  {'ok' if ok else 'FAIL'}")
+        fail |= not ok
     for k in keys:
         a, b = outs["tiled"][k], outs["pallas"][k]
         err = np.abs(a - b)
