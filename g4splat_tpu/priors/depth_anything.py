@@ -132,11 +132,13 @@ def convert_torch_checkpoint(state: Dict, encoder: str = "vitl") -> Dict:
     head = {}
     for i in range(4):
         head[f"projects_{i}"] = conv(dh + f"projects.{i}")
-    # ConvTranspose: torch (in, out, kh, kw) → flax (kh, kw, in, out).
+    # ConvTranspose: torch (in, out, kh, kw) → flax (kh, kw, in, out) PLUS a
+    # spatial flip — torch ConvTranspose2d mirrors taps (gradient-derived),
+    # flax's default ConvTranspose does not.
     for i, name in ((0, "resize_0"), (1, "resize_1")):
         w = np.asarray(state[dh + f"resize_layers.{i}.weight"])
         head[name] = {
-            "kernel": w.transpose(2, 3, 0, 1),
+            "kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
             "bias": np.asarray(state[dh + f"resize_layers.{i}.bias"]),
         }
     head["resize_3"] = conv(dh + "resize_layers.3")

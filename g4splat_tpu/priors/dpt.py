@@ -63,10 +63,16 @@ class FeatureFusionBlock(nn.Module):
 
 
 class DPTHead(nn.Module):
+    """DA2 flavour (defaults): last_dim 32, trailing ReLU (disparity ≥ 0).
+    dust3r/MASt3R flavour (croco dpt_block.py regression head): layer dims
+    (96, 192, 384, 768), last_dim = features // 2, NO trailing activation —
+    the head regresses signed xyz + raw confidence."""
     features: int = 256
     out_channels: Sequence[int] = (256, 512, 1024, 1024)
     patch_size: int = 14
     head_out: int = 1           # 1 = depth/disparity
+    last_dim: int = 32
+    final_relu: bool = True
 
     @nn.compact
     def __call__(self, taps, grid: Tuple[int, int]):
@@ -117,8 +123,10 @@ class DPTHead(nn.Module):
         out = resize_bilinear_ac(
             out, (gh * self.patch_size, gw * self.patch_size)
         )
-        out = nn.Conv(32, (3, 3), padding=1, name="output_conv2_0")(out)
+        out = nn.Conv(self.last_dim, (3, 3), padding=1,
+                      name="output_conv2_0")(out)
         out = nn.relu(out)
         out = nn.Conv(self.head_out, (1, 1), name="output_conv2_2")(out)
-        out = nn.relu(out)
+        if self.final_relu:
+            out = nn.relu(out)
         return out

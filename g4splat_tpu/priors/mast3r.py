@@ -49,13 +49,15 @@ class MASt3RConfig(NamedTuple):
     local_feat_dim: int = 24
     rope_base: float = 100.0
     dpt_features: int = 256
+    # croco dpt_block.py layer_dims defaults — NOT the DA2 (256,512,1024,1024)
+    dpt_layer_dims: Tuple[int, int, int, int] = (96, 192, 384, 768)
     two_confs: bool = True
 
 
 TINY_CONFIG = MASt3RConfig(
     patch_size=16, enc_embed_dim=64, enc_depth=2, enc_num_heads=2,
     dec_embed_dim=48, dec_depth=2, dec_num_heads=2, local_feat_dim=8,
-    dpt_features=32,
+    dpt_features=32, dpt_layer_dims=(8, 16, 24, 32),
 )
 
 
@@ -73,12 +75,11 @@ class CatMLPDPTHead(nn.Module):
         taps = [enc_tokens] + list(dec_taps)
         dpt_out = DPTHead(
             features=cfg.dpt_features,
-            out_channels=(
-                cfg.dpt_features, cfg.dpt_features * 2,
-                cfg.dpt_features * 4, cfg.dpt_features * 4,
-            ),
+            out_channels=cfg.dpt_layer_dims,
             patch_size=p,
             head_out=4,   # xyz + conf
+            last_dim=cfg.dpt_features // 2,
+            final_relu=False,   # signed xyz + raw conf (dpt_block.py head)
             name="dpt",
         )(taps, grid)
 
@@ -105,7 +106,9 @@ class CatMLPDPTHead(nn.Module):
         desc = feats[..., : cfg.local_feat_dim]
         desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
         if cfg.two_confs:
-            desc_conf = 1.0 + jnp.exp(jnp.minimum(feats[..., -1], 15.0))
+            # desc_conf_mode=('exp', 0, inf): exp(x), no +1 (model.py
+            # instantiation for the released catmlpdpt checkpoints).
+            desc_conf = jnp.exp(jnp.minimum(feats[..., -1], 15.0))
         else:
             desc_conf = conf
         return {"pts3d": pts3d, "conf": conf, "desc": desc,
@@ -203,6 +206,118 @@ class MASt3RModel:
         out11, out21 = self.infer_pair(img1, img2)
         out22, out12 = self.infer_pair(img2, img1)
         return out11, out21, out22, out12
+
+
+# ----------------------------------------------------------- weight loading
+def _lin(state, prefix):
+    return {"kernel": np.asarray(state[prefix + ".weight"]).T,
+            "bias": np.asarray(state[prefix + ".bias"])}
+
+
+def _ln(state, prefix):
+    return {"scale": np.asarray(state[prefix + ".weight"]),
+            "bias": np.asarray(state[prefix + ".bias"])}
+
+
+def _conv(state, prefix):
+    return {"kernel": np.asarray(state[prefix + ".weight"]).transpose(2, 3, 1, 0),
+            "bias": np.asarray(state[prefix + ".bias"])}
+
+
+def _enc_block(state, pre):
+    return {
+        "norm1": _ln(state, pre + "norm1"),
+        "norm2": _ln(state, pre + "norm2"),
+        "attn": {"qkv": _lin(state, pre + "attn.qkv"),
+                 "proj": _lin(state, pre + "attn.proj")},
+        "mlp": {"fc1": _lin(state, pre + "mlp.fc1"),
+                "fc2": _lin(state, pre + "mlp.fc2")},
+    }
+
+
+def _dec_block(state, pre):
+    blk = _enc_block(state, pre)
+    blk["norm3"] = _ln(state, pre + "norm3")
+    blk["norm_y"] = _ln(state, pre + "norm_y")
+    blk["cross_attn"] = {
+        "projq": _lin(state, pre + "cross_attn.projq"),
+        "projk": _lin(state, pre + "cross_attn.projk"),
+        "projv": _lin(state, pre + "cross_attn.projv"),
+        "proj": _lin(state, pre + "cross_attn.proj"),
+    }
+    return blk
+
+
+def _convert_head(state, h):
+    """downstream_head{k}.* → CatMLPDPTHead params (torch keys recorded in
+    tests/fixtures/mast3r_vitl_keys.json from the reference checkpoint
+    structure; croco dpt_block.py DPTOutputAdapter + catmlp_dpt_head.py)."""
+    dpt = {}
+    for i in range(4):
+        dpt[f"projects_{i}"] = _conv(state, h + f".dpt.act_postprocess.{i}.0")
+    for i in (0, 1):
+        # ConvTranspose: torch (in, out, kh, kw) → flax (kh, kw, in, out)
+        # PLUS a spatial flip: torch ConvTranspose2d is the gradient-derived
+        # transpose (mirrored taps), flax's default is a direct lhs-dilated
+        # conv (empirically verified mapping, exact to 0.0).
+        w = np.asarray(state[h + f".dpt.act_postprocess.{i}.1.weight"])
+        dpt[f"resize_{i}"] = {
+            "kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1].copy(),
+            "bias": np.asarray(state[h + f".dpt.act_postprocess.{i}.1.bias"]),
+        }
+    dpt["resize_3"] = _conv(state, h + ".dpt.act_postprocess.3.1")
+    for i in range(4):
+        dpt[f"layer{i + 1}_rn"] = {
+            "kernel": np.asarray(
+                state[h + f".dpt.scratch.layer{i + 1}_rn.weight"]
+            ).transpose(2, 3, 1, 0)
+        }
+    for r in range(1, 5):
+        blk = {}
+        for u in (1, 2):
+            unit = {
+                "conv1": _conv(state, h + f".dpt.scratch.refinenet{r}.resConfUnit{u}.conv1"),
+                "conv2": _conv(state, h + f".dpt.scratch.refinenet{r}.resConfUnit{u}.conv2"),
+            }
+            # refinenet4 (deepest) has no skip input: its resConfUnit1 is
+            # dead weight in the torch checkpoint and absent from our module.
+            # Read it (key-coverage) but drop it.
+            if not (r == 4 and u == 1):
+                blk[f"resConfUnit{u}"] = unit
+        blk["out_conv"] = _conv(state, h + f".dpt.scratch.refinenet{r}.out_conv")
+        dpt[f"refinenet{r}"] = blk
+    dpt["output_conv1"] = _conv(state, h + ".dpt.head.0")
+    dpt["output_conv2_0"] = _conv(state, h + ".dpt.head.2")
+    dpt["output_conv2_2"] = _conv(state, h + ".dpt.head.4")
+    return {
+        "dpt": dpt,
+        "head_local_features": {
+            "fc1": _lin(state, h + ".head_local_features.fc1"),
+            "fc2": _lin(state, h + ".head_local_features.fc2"),
+        },
+    }
+
+
+def convert_torch_mast3r(state: Dict, cfg: MASt3RConfig = MASt3RConfig()) -> Dict:
+    """AsymmetricMASt3R torch checkpoint (ckpt['model'], numpy-valued) → flax
+    params for this module. Covers every checkpoint key except the unused
+    croco `mask_token` and the `scratch.layer_rn.*` ModuleList aliases
+    (duplicates of `layer{k}_rn`). Reference: mast3r/mast3r/model.py:40-75,
+    dust3r/croco ViT blocks, croco dpt_block.py."""
+    p = {
+        "patch_embed": {"proj": _conv(state, "patch_embed.proj")},
+        "enc_norm": _ln(state, "enc_norm"),
+        "decoder_embed": _lin(state, "decoder_embed"),
+        "dec_norm": _ln(state, "dec_norm"),
+    }
+    for i in range(cfg.enc_depth):
+        p[f"enc_blocks_{i}"] = _enc_block(state, f"enc_blocks.{i}.")
+    for i in range(cfg.dec_depth):
+        p[f"dec_blocks_{i}"] = _dec_block(state, f"dec_blocks.{i}.")
+        p[f"dec_blocks2_{i}"] = _dec_block(state, f"dec_blocks2.{i}.")
+    p["head1"] = _convert_head(state, "downstream_head1")
+    p["head2"] = _convert_head(state, "downstream_head2")
+    return {"params": p}
 
 
 # ------------------------------------------------------------------ matching

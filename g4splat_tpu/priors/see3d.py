@@ -25,6 +25,8 @@ from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from g4splat_tpu.priors.vit import gelu_exact
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,7 +47,7 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(2 * self.out, name="proj")(x)
         a, b = jnp.split(h, 2, axis=-1)
-        return a * nn.gelu(b)
+        return a * gelu_exact(b)
 
 
 class CrossAttention(nn.Module):

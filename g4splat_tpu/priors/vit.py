@@ -21,10 +21,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def gelu_exact(x):
+    """Erf-based GELU — torch nn.GELU's default. flax nn.gelu defaults to the
+    tanh approximation, which costs ~1e-3 output error vs converted torch
+    checkpoints; every prior net here uses the exact form."""
+    return nn.gelu(x, approximate=False)
+
+
 class Mlp(nn.Module):
     hidden: int
     out: Optional[int] = None
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
 
     @nn.compact
     def __call__(self, x):
