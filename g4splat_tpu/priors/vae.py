@@ -1,21 +1,30 @@
-"""Stable-Diffusion-style KL autoencoder (flax) for the See3D latent space.
+"""Stable-Diffusion KL autoencoder (flax) for the See3D latent space.
 
-Architecture-faithful port of the AutoencoderKL the See3D pipeline wraps
-through diffusers (guidance/see3d_util.py loads VAE weights alongside the MV
-UNet): GroupNorm/SiLU ResNet blocks, 4× down/up factor (3 stride-2 stages for
-the SD configuration), a mid-block self-attention, 4-channel latents scaled by
-0.18215. Channel widths are configurable so tiny configs stay test-friendly.
+Checkpoint-structured port of the diffusers ``AutoencoderKL`` the See3D
+pipeline loads alongside the MV UNet (guidance/see3d_util.py:18-40 via
+``MVDreamPipeline.from_pretrained``): GroupNorm(32, eps=1e-6)/SiLU ResNet
+blocks, 2 resnets per encoder down-block (3 per decoder up-block), stride-2
+downsampling with asymmetric (0,1) padding, a single-head mid-block
+self-attention, 4-channel latents scaled by 0.18215.  Module names mirror
+the torch state-dict keys so ``convert_torch_vae`` is a mechanical
+re-layout; channel widths are configurable so tiny configs stay
+test-friendly.
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 SD_SCALE = 0.18215
+
+
+def _gn(ch: int, name: str) -> nn.GroupNorm:
+    return nn.GroupNorm(num_groups=min(32, ch), epsilon=1e-6, name=name)
 
 
 class ResnetBlock(nn.Module):
@@ -23,28 +32,39 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), name="norm1")(x)
-        h = nn.silu(h)
+        h = nn.silu(_gn(x.shape[-1], "norm1")(x))
         h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=min(32, self.out_ch), name="norm2")(h)
-        h = nn.silu(h)
+        h = nn.silu(_gn(self.out_ch, "norm2")(h))
         h = nn.Conv(self.out_ch, (3, 3), padding=1, name="conv2")(h)
         if x.shape[-1] != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1), name="nin_shortcut")(x)
+            x = nn.Conv(self.out_ch, (1, 1), name="conv_shortcut")(x)
         return x + h
 
 
 class AttnBlock(nn.Module):
+    """Single-head mid-block attention (diffusers ``Attention`` with
+    Linear q/k/v projections)."""
+
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=min(32, C), name="norm")(x)
-        q = nn.Conv(C, (1, 1), name="q")(h).reshape(B, H * W, C)
-        k = nn.Conv(C, (1, 1), name="k")(h).reshape(B, H * W, C)
-        v = nn.Conv(C, (1, 1), name="v")(h).reshape(B, H * W, C)
+        h = _gn(C, "group_norm")(x).reshape(B, H * W, C)
+        q = nn.Dense(C, name="to_q")(h)
+        k = nn.Dense(C, name="to_k")(h)
+        v = nn.Dense(C, name="to_v")(h)
         att = jax.nn.softmax(q @ jnp.swapaxes(k, 1, 2) / jnp.sqrt(C), axis=-1)
-        h = (att @ v).reshape(B, H, W, C)
-        return x + nn.Conv(C, (1, 1), name="proj_out")(h)
+        h = nn.Dense(C, name="to_out_0")(att @ v)
+        return x + h.reshape(B, H, W, C)
+
+
+class MidBlock(nn.Module):
+    ch: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = ResnetBlock(self.ch, name="resnets_0")(x)
+        x = AttnBlock(name="attentions_0")(x)
+        return ResnetBlock(self.ch, name="resnets_1")(x)
 
 
 class Encoder(nn.Module):
@@ -57,19 +77,17 @@ class Encoder(nn.Module):
         h = nn.Conv(self.base_ch, (3, 3), padding=1, name="conv_in")(x)
         for i, m in enumerate(self.ch_mult):
             ch = self.base_ch * m
-            h = ResnetBlock(ch, name=f"down_{i}_block_0")(h)
-            h = ResnetBlock(ch, name=f"down_{i}_block_1")(h)
+            name = f"down_blocks_{i}"
+            h = ResnetBlock(ch, name=f"{name}_resnets_0")(h)
+            h = ResnetBlock(ch, name=f"{name}_resnets_1")(h)
             if i < len(self.ch_mult) - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
-                            name=f"down_{i}_downsample")(h)
-        h = ResnetBlock(h.shape[-1], name="mid_block_1")(h)
-        h = AttnBlock(name="mid_attn")(h)
-        h = ResnetBlock(h.shape[-1], name="mid_block_2")(h)
-        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]), name="norm_out")(h)
-        h = nn.silu(h)
-        moments = nn.Conv(2 * self.z_ch, (3, 3), padding=1, name="conv_out")(h)
-        mean, logvar = jnp.split(moments, 2, axis=-1)
-        return mean, jnp.clip(logvar, -30.0, 20.0)
+                # diffusers Downsample2D: stride-2, asymmetric (0,1) pad.
+                h = nn.Conv(ch, (3, 3), strides=(2, 2),
+                            padding=((0, 1), (0, 1)),
+                            name=f"{name}_downsamplers_0_conv")(h)
+        h = MidBlock(h.shape[-1], name="mid_block")(h)
+        h = nn.silu(_gn(h.shape[-1], "conv_norm_out")(h))
+        return nn.Conv(2 * self.z_ch, (3, 3), padding=1, name="conv_out")(h)
 
 
 class Decoder(nn.Module):
@@ -79,21 +97,21 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, z):
-        ch = self.base_ch * self.ch_mult[-1]
+        rev = list(reversed(self.ch_mult))
+        ch = self.base_ch * rev[0]
         h = nn.Conv(ch, (3, 3), padding=1, name="conv_in")(z)
-        h = ResnetBlock(ch, name="mid_block_1")(h)
-        h = AttnBlock(name="mid_attn")(h)
-        h = ResnetBlock(ch, name="mid_block_2")(h)
-        for i, m in reversed(list(enumerate(self.ch_mult))):
+        h = MidBlock(ch, name="mid_block")(h)
+        for i, m in enumerate(rev):
             ch = self.base_ch * m
-            h = ResnetBlock(ch, name=f"up_{i}_block_0")(h)
-            h = ResnetBlock(ch, name=f"up_{i}_block_1")(h)
-            if i > 0:
+            name = f"up_blocks_{i}"
+            for j in range(3):
+                h = ResnetBlock(ch, name=f"{name}_resnets_{j}")(h)
+            if i < len(rev) - 1:
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, 2 * H, 2 * W, C), "nearest")
-                h = nn.Conv(C, (3, 3), padding=1, name=f"up_{i}_upsample")(h)
-        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]), name="norm_out")(h)
-        h = nn.silu(h)
+                h = nn.Conv(C, (3, 3), padding=1,
+                            name=f"{name}_upsamplers_0_conv")(h)
+        h = nn.silu(_gn(h.shape[-1], "conv_norm_out")(h))
         return nn.Conv(self.out_ch, (3, 3), padding=1, name="conv_out")(h)
 
 
@@ -111,11 +129,11 @@ class AutoencoderKL(nn.Module):
                                        name="post_quant_conv")
 
     def encode(self, x, rng=None):
-        """(B, H, W, 3) in [-1,1] → latent (B, H/f, W/f, z). Deterministic
+        """(B, H, W, 3) in [-1,1] -> latent (B, H/f, W/f, z). Deterministic
         (mean) unless an rng is given."""
-        mean, logvar = self.encoder(x)
-        m = self.quant_conv(jnp.concatenate([mean, logvar], -1))
-        mean, logvar = jnp.split(m, 2, axis=-1)
+        moments = self.quant_conv(self.encoder(x))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        logvar = jnp.clip(logvar, -30.0, 20.0)
         if rng is not None:
             mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
                 rng, mean.shape
@@ -128,3 +146,72 @@ class AutoencoderKL(nn.Module):
 
     def __call__(self, x):
         return self.decode(self.encode(x))
+
+
+# ------------------------------------------------------------ weight loading
+_LEGACY_ATTN = {"query": "to_q", "key": "to_k", "value": "to_v",
+                "proj_attn": "to_out.0"}
+
+
+def convert_torch_vae(state_dict,
+                      cfg: Optional[dict] = None) -> dict:
+    """Convert a diffusers AutoencoderKL state dict to flax params.
+
+    Handles both modern attention keys (to_q/to_k/to_v/to_out.0, Linear)
+    and the legacy layout (query/key/value/proj_attn, possibly stored as
+    1x1 convs — squeezed to Linear).
+    """
+    params: dict = {}
+    for key in (state_dict.keys() if hasattr(state_dict, "keys")
+                else state_dict):
+        v = np.asarray(state_dict[key], np.float32)
+        k = key
+        for old, new in _LEGACY_ATTN.items():
+            k = k.replace(f".{old}.", f".{new}.")
+        parts = k.split(".")
+        leaf = parts[-1]
+        mods = parts[:-1]
+
+        # Flatten indexed containers to the flax module names.
+        out: list = []
+        i = 0
+        while i < len(mods):
+            p = mods[i]
+            if p in ("down_blocks", "up_blocks"):
+                blk = f"{p}_{mods[i + 1]}"
+                i += 2
+                sub = mods[i]
+                if sub == "resnets":
+                    out.append(f"{blk}_resnets_{mods[i + 1]}")
+                    i += 2
+                elif sub in ("downsamplers", "upsamplers"):
+                    out.append(f"{blk}_{sub}_{mods[i + 1]}_{mods[i + 2]}")
+                    i += 3
+                else:  # pragma: no cover - unknown sub-block
+                    out.append(f"{blk}_{sub}")
+                    i += 1
+            elif p in ("resnets", "attentions"):
+                out.append(f"{p}_{mods[i + 1]}")
+                i += 2
+            elif p == "to_out":
+                out.append(f"to_out_{mods[i + 1]}")
+                i += 2
+            else:
+                out.append(p)
+                i += 1
+
+        if leaf == "weight":
+            if v.ndim == 4 and out[-1] in ("to_q", "to_k", "to_v",
+                                           "to_out_0"):
+                v = v[..., 0, 0]  # legacy 1x1-conv attention projection
+            if v.ndim == 4:
+                leaf, v = "kernel", v.transpose(2, 3, 1, 0)
+            elif v.ndim == 2:
+                leaf, v = "kernel", v.T
+            else:
+                leaf = "scale"
+        node = params
+        for p in out:
+            node = node.setdefault(p, {})
+        node[leaf] = jnp.asarray(v)
+    return {"params": params}
