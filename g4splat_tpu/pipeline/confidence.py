@@ -58,6 +58,104 @@ def project_visibility(
     return jnp.swapaxes(vis, 0, 1), jnp.swapaxes(coords, 0, 1)  # (P,V), (P,V,2)
 
 
+def build_visibility_masks(
+    cameras,                  # batched Camera (V,)
+    depths,                   # (V, H, W)
+    depth_threshold: float = 0.1,
+    least_num_views: int = 1,
+):
+    """Per-view multi-view covisibility (guidance/cam_utils.py:1620-1715).
+
+    count[v][y, x] = number of OTHER views whose depth map agrees (<10%
+    relative) with view v's pixel point projected into them; the binary mask
+    is count >= least_num_views. Returns (counts (V,H,W) float32,
+    masks (V,H,W) bool)."""
+    import numpy as np
+
+    depths = jnp.asarray(depths)
+    V, H, W = depths.shape
+    counts = []
+    for i in range(V):
+        cam_i = jax.tree.map(lambda x: x[i], cameras)
+        pts = cam_i.backproject(depths[i]).reshape(-1, 3)
+        vis, _ = project_visibility(cameras, pts, depths, depth_threshold)
+        c = vis.sum(axis=1) - vis[:, i]  # exclude the source view itself
+        counts.append(np.asarray(c.reshape(H, W), np.float32))
+    counts = np.stack(counts)
+    return counts, counts >= least_num_views
+
+
+def anchor_plane_color_harmonize(
+    cameras,                  # batched Camera (V,)
+    depths,                   # (V, H, W) refined depths
+    images,                   # (V, H, W, 3)
+    plane_masks,              # list of (H, W) int instance masks
+    global_plane_dict,        # {gid: [(view, plane_id), ...]}
+    anchor_view_ids,          # stage anchor ids (merge anchor_view_id.json)
+    depth_threshold: float = 0.1,
+):
+    """Stage-3 anchor-view plane color harmonization
+    (guidance/plane_inconsistency_solver.py:119-262): for every global plane
+    pick the anchor view seeing the most plane points; in every member view,
+    plane pixels whose points project depth-consistently into that anchor are
+    recolored from the anchor image. The confident maps for this pass are
+    all-ones (:232-239). Returns the recolored image stack."""
+    import numpy as np
+
+    images = np.array(images, copy=True)
+    depths = jnp.asarray(depths)
+    V, H, W = depths.shape
+    pts = []
+    for v in range(V):
+        cam = jax.tree.map(lambda x, v=v: x[v], cameras)
+        pts.append(np.asarray(cam.backproject(depths[v])).reshape(-1, 3))
+
+    for gid, members in global_plane_dict.items():
+        plane_pts = [
+            pts[v][np.asarray(plane_masks[v]).reshape(-1) == pid]
+            for (v, pid) in members
+        ]
+        if not plane_pts:
+            continue
+        pool = np.concatenate([p for p in plane_pts if len(p)] or
+                              [np.zeros((0, 3), np.float32)])
+        if len(pool) == 0:
+            continue
+        pool_j = jnp.asarray(pool, jnp.float32)
+        best, best_n = -1, 0
+        for a in anchor_view_ids:
+            cam = jax.tree.map(lambda x, a=a: x[a], cameras)
+            xy, z = cam.project(pool_j)
+            in_img = np.asarray(
+                (xy[:, 0] >= 0) & (xy[:, 0] < W)
+                & (xy[:, 1] >= 0) & (xy[:, 1] < H) & (z > 0)
+            )
+            n = int(in_img.sum())
+            if n > best_n:
+                best, best_n = a, n
+        if best < 0:
+            continue
+        acam = jax.tree.map(lambda x: x[best], cameras)
+        adepth = np.asarray(depths[best])
+        aimg = images[best]
+        for (v, pid), p in zip(members, plane_pts):
+            if v == best or len(p) == 0:
+                continue
+            xy, z = acam.project(jnp.asarray(p, jnp.float32))
+            xy, z = np.asarray(xy), np.asarray(z)
+            u = np.clip(np.round(xy[:, 0]).astype(np.int64), 0, W - 1)
+            vv = np.clip(np.round(xy[:, 1]).astype(np.int64), 0, H - 1)
+            in_img = (
+                (xy[:, 0] >= 0) & (xy[:, 0] < W)
+                & (xy[:, 1] >= 0) & (xy[:, 1] < H) & (z > 0)
+            )
+            rel = np.abs(z - adepth[vv, u]) / (z + 1e-6)
+            ok = in_img & (rel < depth_threshold)
+            ys, xs = np.where(np.asarray(plane_masks[v]) == pid)
+            images[v, ys[ok], xs[ok]] = aimg[vv[ok], u[ok]]
+    return images
+
+
 def compute_confidence_maps(
     cameras,
     points: np.ndarray,          # (P, 3) union of refined per-view points

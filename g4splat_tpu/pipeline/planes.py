@@ -39,7 +39,8 @@ import numpy as np
 def merge_normal_clusters(pred, sorted_topk, centers, cos_thresh=0.95):
     """Merge clusters whose (normalized) centers agree within cos>0.95."""
     new_pred = pred.copy()
-    centers = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    centers = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
     num = len(sorted_topk)
     dead = np.zeros(num, bool)
     n_left = num
@@ -205,7 +206,11 @@ class PlaneExcavator:
             out_seg[m] = new_count
             areas.append(area)
             nrm = normals[m].mean(0)
-            avg_normals.append(nrm / np.linalg.norm(nrm))
+            # Opposed normals can average to ~0; keep a unit placeholder
+            # instead of emitting NaNs downstream.
+            nn = np.linalg.norm(nrm)
+            avg_normals.append(nrm / nn if nn > 1e-8
+                               else np.array([0.0, 0.0, 1.0], nrm.dtype))
         return {
             "seg_mask": out_seg,
             "normal": np.array(avg_normals) if avg_normals else None,
@@ -295,7 +300,7 @@ def _fit_plane_prior(points: np.ndarray, prior_normal: np.ndarray,
         n_svd = -n_svd
     w = alpha / (1.0 + alpha)
     normal = (1 - w) * n_svd + w * prior_normal
-    normal = normal / np.linalg.norm(normal)
+    normal = normal / max(np.linalg.norm(normal), 1e-12)
     d = -float(normal @ points.mean(0))
     return normal, d
 
@@ -314,7 +319,8 @@ def fit_plane_ransac(
     n = points.shape[0]
     if prior_normal is not None:
         prior_normal = np.asarray(prior_normal, np.float64)
-        prior_normal = prior_normal / np.linalg.norm(prior_normal)
+        pn = np.linalg.norm(prior_normal)
+        prior_normal = prior_normal / pn if pn > 1e-12 else None
 
     rng = np.random.default_rng(seed)
     best_inliers = None

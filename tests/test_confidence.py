@@ -97,5 +97,72 @@ class TestConfidenceMaps:
         np.testing.assert_allclose(c1, c2, atol=1e-6)
 
 
+class TestVisibilityMasks:
+    def test_covisible_plane_counted(self):
+        from g4splat_tpu.pipeline.confidence import build_visibility_masks
+
+        cameras, depths = two_view_setup()
+        counts, masks = build_visibility_masks(cameras, np.asarray(depths))
+        assert counts.shape == (2, 16, 16)
+        # Both views see the same z=2 plane; most pixels covisible once.
+        assert counts.max() == 1
+        assert masks[0].mean() > 0.5 and masks[1].mean() > 0.5
+        # Self-view is excluded: with only one other view, count <= 1.
+        assert (counts <= 1).all()
+
+    def test_disagreeing_depths_not_covisible(self):
+        from g4splat_tpu.pipeline.confidence import build_visibility_masks
+
+        cameras, depths = two_view_setup()
+        depths = np.asarray(depths).copy()
+        depths[1] = 5.0  # view 1 disagrees everywhere (>10% relative)
+        counts, masks = build_visibility_masks(cameras, depths)
+        assert counts[0].max() == 0
+        assert not masks[0].any()
+
+
+class TestAnchorColorHarmonize:
+    def test_plane_recolored_from_anchor(self):
+        from g4splat_tpu.pipeline.confidence import (
+            anchor_plane_color_harmonize,
+        )
+
+        cameras, depths = two_view_setup()
+        depths = np.asarray(depths)
+        masks = [np.zeros((16, 16), np.int32) for _ in range(2)]
+        masks[0][4:12, 4:12] = 1
+        masks[1][4:12, 4:12] = 1
+        gdict = {0: [(0, 1), (1, 1)]}
+        images = np.zeros((2, 16, 16, 3), np.float32)
+        images[1] = 1.0  # anchor view (view 1) is white
+        out = anchor_plane_color_harmonize(
+            cameras, depths, images, masks, gdict, anchor_view_ids=[1],
+        )
+        # View-0 plane pixels that project into view 1 are now white.
+        sel = masks[0] == 1
+        assert out[0][sel].mean() > 0.5
+        # Anchor view itself unchanged.
+        np.testing.assert_array_equal(out[1], images[1])
+
+    def test_no_anchor_in_view_is_noop(self):
+        from g4splat_tpu.pipeline.confidence import (
+            anchor_plane_color_harmonize,
+        )
+
+        cameras, depths = two_view_setup()
+        depths = np.asarray(depths)
+        masks = [np.zeros((16, 16), np.int32) for _ in range(2)]
+        masks[0][4:12, 4:12] = 1
+        gdict = {0: [(0, 1)]}
+        images = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+        # Anchor list references a view whose plane points never land in it:
+        # make view 1 face away.
+        out = anchor_plane_color_harmonize(
+            cameras, depths, images.copy(), masks, gdict, anchor_view_ids=[0],
+        )
+        # Anchor == member view → skipped, images unchanged.
+        np.testing.assert_array_equal(out, images)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
