@@ -18,6 +18,7 @@ v5e-8 slice. Multi-host extends the same mesh over DCN via
 
 from __future__ import annotations
 
+import functools as _functools
 from functools import partial
 from typing import Optional, Sequence
 
@@ -135,8 +136,6 @@ def view_parallel_render(
     with a repeated camera and drop the tail if needed. Returns a dict of
     stacked (V, H, W[, C]) maps, sharded over `data`.
     """
-    from g4splat_tpu.ops.rasterize import render
-
     n_views = jax.tree.leaves(cameras)[0].shape[0]
     n_data = mesh.shape["data"]
     if n_views % n_data:
@@ -144,10 +143,18 @@ def view_parallel_render(
             f"views ({n_views}) must divide over the data axis ({n_data})"
         )
 
-    @partial(
-        jax.jit,
-        static_argnames=(),
-    )
+    outs = _view_parallel_fn(mesh, backend, tuple(keys))(scene, cameras)
+    return dict(zip(keys, outs))
+
+
+@_functools.lru_cache(maxsize=32)
+def _view_parallel_fn(mesh: Mesh, backend: str, keys: tuple):
+    """Compiled sharded render, cached on (mesh, backend, keys): jit caches
+    on function identity, so rebuilding the closure per call would re-trace
+    and recompile the whole sharded render at every render_all/TSDF sweep."""
+    from g4splat_tpu.ops.rasterize import render
+
+    @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
@@ -162,8 +169,6 @@ def view_parallel_render(
             out = render(cam, scene, backend=backend)
             return tuple(out[k] for k in keys)
 
-        stacked = jax.lax.map(one, jnp.arange(b))
-        return stacked
+        return jax.lax.map(one, jnp.arange(b))
 
-    outs = go(scene, cameras)
-    return dict(zip(keys, outs))
+    return go

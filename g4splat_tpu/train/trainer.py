@@ -49,6 +49,9 @@ class TrainConfig:
     position_lr_init: float = struct.field(pytree_node=False, default=1.6e-4)
     position_lr_final: float = struct.field(pytree_node=False, default=1.6e-6)
     position_lr_delay_mult: float = struct.field(pytree_node=False, default=0.01)
+    # The reference never passes lr_delay_steps, so its warm-start delay is
+    # inert by default (utils/general_utils.py:49-55); >0 enables it.
+    position_lr_delay_steps: int = struct.field(pytree_node=False, default=0)
     position_lr_max_steps: int = struct.field(pytree_node=False, default=30_000)
     feature_lr: float = struct.field(pytree_node=False, default=2.5e-3)
     opacity_lr: float = struct.field(pytree_node=False, default=0.05)
@@ -81,6 +84,9 @@ class TrainConfig:
     spatial_lr_scale: float = struct.field(pytree_node=False, default=1.0)
     backend: str = struct.field(pytree_node=False, default="tiled")
     sh_increase_interval: int = struct.field(pytree_node=False, default=1000)
+    # Capacity-growth ceiling when densification overflows the static buffer
+    # (reference hard cap: train_with_refine_depth.py:147, 10M splats).
+    max_capacity: int = struct.field(pytree_node=False, default=10_000_000)
 
 
 class ViewData(NamedTuple):
@@ -96,16 +102,22 @@ class ViewData(NamedTuple):
 
 def xyz_lr_schedule(cfg: TrainConfig):
     """Plenoxels log-linear decay with delayed warm start
-    (utils/general_utils.py:30-66)."""
+    (utils/general_utils.py:30-66): when delay_steps > 0 the lr ramps from
+    delay_mult·lr to lr over a half-sine; log-lerp init→final after."""
     init = cfg.position_lr_init * cfg.spatial_lr_scale
     final = cfg.position_lr_final * cfg.spatial_lr_scale
-    delay_steps = 0
 
     def sched(step):
         t = jnp.clip(step / cfg.position_lr_max_steps, 0.0, 1.0)
         log_lerp = jnp.exp(
             jnp.log(init) * (1 - t) + jnp.log(final) * t
         )
+        if cfg.position_lr_delay_steps > 0:
+            u = jnp.clip(step / cfg.position_lr_delay_steps, 0.0, 1.0)
+            delay = cfg.position_lr_delay_mult + (
+                1 - cfg.position_lr_delay_mult
+            ) * jnp.sin(0.5 * jnp.pi * u)
+            log_lerp = delay * log_lerp
         return log_lerp
 
     return sched
@@ -257,6 +269,111 @@ def train_step(
     return scene, opt_state, dstate, metrics
 
 
+def make_dp_train_step(mesh, cfg: TrainConfig, optimizer):
+    """Data-parallel training step over a device mesh.
+
+    Each device renders its shard of the view batch (B = V_step / n_data
+    views), gradients are `pmean`-averaged AND the densification statistics
+    are `psum`-summed over the `data` axis, so the accumulated screen-grad
+    stats are bit-identical to processing the same views on one device.
+    The optax update and the DensifyState accumulation then run replicated.
+    This is the reference's per-iteration semantics
+    (train_with_refine_depth.py:362-632 + gaussian_model.py:649-651) lifted
+    onto the mesh — classic DP with XLA collectives instead of NCCL DDP.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def step(scene, opt_state, dstate, cameras, views, iteration, key):
+        params = scene_params(scene)
+        N = scene.capacity
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P(), P()),
+            out_specs=(P(), P(), P(), P(), P(), P(), P()),
+        )
+        def shard_grads(params, cams, views_shard, iteration, key):
+            B = views_shard["image"].shape[0]
+            dev = jax.lax.axis_index("data")
+
+            def loss_fn(params, offsets):
+                s = with_params(scene, params)
+
+                def one(i, acc):
+                    cam = jax.tree.map(lambda x: x[i], cams)
+                    view = jax.tree.map(
+                        lambda x: x[i] if x.ndim else x, views_shard)
+                    # Key folded on the GLOBAL view index so results are
+                    # invariant to the mesh size.
+                    l, aux = compute_losses(
+                        s, cam, view, cfg, iteration,
+                        jax.random.fold_in(key, dev * B + i), offsets[i],
+                    )
+                    loss, radii, vis, l1, psnr = acc
+                    av = aux["visibility"].astype(jnp.float32)
+                    return (
+                        loss + l,
+                        jnp.maximum(radii, aux["radii"] * av),
+                        vis + av,
+                        l1 + aux["l1"],
+                        psnr + aux["psnr"],
+                    )
+
+                # Varying-zero init so the carry matches the body's
+                # device-varying type under shard_map.
+                z = jnp.sum(views_shard["image"][..., :1]) * 0.0
+                acc0 = (z, jnp.zeros(N) + z, jnp.zeros(N) + z, z, z)
+                loss, radii, vis, l1, psnr = jax.lax.fori_loop(0, B, one, acc0)
+                return loss / B, (radii, vis, l1 / B, psnr / B)
+
+            offsets = jnp.zeros((B, N, 2))
+            (loss, (radii, vis, l1, psnr)), (gparams, goffsets) = (
+                jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                    params, offsets)
+            )
+            gparams = jax.lax.pmean(gparams, "data")
+            loss = jax.lax.pmean(loss, "data")
+            l1 = jax.lax.pmean(l1, "data")
+            psnr = jax.lax.pmean(psnr, "data")
+            # Stat deltas: SUMS over all views of the step (psum), except the
+            # running per-splat screen-radius maximum (pmax).
+            # Per-view screen grads are scaled back up by B: loss_fn divides
+            # by B, so ∂/∂offsets picked up a 1/B the reference's per-view
+            # accumulation does not have.
+            d_grad = jax.lax.psum(
+                jnp.linalg.norm(goffsets, axis=-1).sum(0) * B, "data")
+            d_denom = jax.lax.psum(vis, "data")
+            d_radii = jax.lax.pmax(radii, "data")
+            return loss, gparams, d_grad, d_denom, d_radii, l1, psnr
+
+        loss, gparams, d_grad, d_denom, d_radii, l1, psnr = shard_grads(
+            params, cameras, views, iteration, key)
+        updates, opt_state = optimizer.update(gparams, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        scene = with_params(scene, params)
+
+        densify_window = (iteration >= cfg.densify_from_iter) & (
+            iteration < cfg.densify_until_iter
+        )
+        dstate = jax.lax.cond(
+            densify_window,
+            lambda d: DensifyState(
+                grad_accum=d.grad_accum + d_grad,
+                denom=d.denom + d_denom,
+                max_radii2d=jnp.maximum(d.max_radii2d, d_radii),
+            ),
+            lambda d: d,
+            dstate,
+        )
+        metrics = {
+            "loss": loss, "l1": l1, "psnr": psnr, "n_alive": scene.num_alive,
+        }
+        return scene, opt_state, dstate, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
 def zero_moments_at(opt_state, changed: jnp.ndarray):
     """Zero Adam moments on changed slots (reference resets optimizer state
     for replaced tensors, gaussian_model.py:500-560)."""
@@ -283,6 +400,7 @@ class Trainer:
         views: ViewData,
         cfg: TrainConfig,
         seed: int = 0,
+        mesh=None,                  # jax.sharding.Mesh → data-parallel steps
     ):
         self.cfg = cfg
         self.scene = scene
@@ -305,6 +423,30 @@ class Trainer:
         self._mip = jax.jit(lambda s, c: s.compute_mip_filter(c))
         self._zero_moments = jax.jit(zero_moments_at)
         self._reset_opacity = jax.jit(lambda s: s.reset_opacity())
+        # Data-parallel mode: replicate the scene/optimizer over the mesh and
+        # consume one view per device per step (grads pmean'd, densify stats
+        # psum'd inside make_dp_train_step). Maintenance ops (densify, mip,
+        # opacity reset) run replicated under the same mesh — same program,
+        # same RNG key, deterministic on every device.
+        self.mesh = mesh if (mesh is not None
+                             and int(np.prod(list(mesh.shape.values()))) > 1
+                             ) else None
+        if self.mesh is not None:
+            from g4splat_tpu.parallel.mesh import replicate
+
+            n_data = self.mesh.shape["data"]
+            n_views = jax.tree.leaves(cameras)[0].shape[0]
+            if n_views % n_data:
+                raise ValueError(
+                    f"views ({n_views}) must divide over the data axis "
+                    f"({n_data}) for data-parallel training")
+            self.views_per_step = n_data
+            self._dp_step = make_dp_train_step(self.mesh, cfg, self.optimizer)
+            self.scene = replicate(self.mesh, self.scene)
+            self.opt_state = replicate(self.mesh, self.opt_state)
+            self.dstate = replicate(self.mesh, self.dstate)
+            self.cameras = replicate(self.mesh, self.cameras)
+            self.views = replicate(self.mesh, self.views)
         if cfg.use_mip_filter:
             self.scene = self.scene.replace(use_mip_filter=True)
             self.scene = self._mip(self.scene, self.cameras)
@@ -334,6 +476,59 @@ class Trainer:
             self._view_cache[v] = (cam, view)
         return self._view_cache[v]
 
+    def _dp_batch(self):
+        """Stack one view per device and shard over the `data` axis."""
+        from g4splat_tpu.parallel.mesh import shard_batch
+
+        idx = jnp.asarray(
+            [self._next_view() for _ in range(self.views_per_step)])
+        cams = jax.tree.map(lambda x: x[idx], self.cameras)
+        view = {
+            "image": self.views.image[idx],
+            "prior_depth": self.views.prior_depth[idx],
+            "prior_normal": self.views.prior_normal[idx],
+            "prior_curv": self.views.prior_curv[idx],
+            "confidence": self.views.confidence[idx],
+            "color_weight": self.views.color_weight[idx],
+            "scale_factor": jnp.broadcast_to(
+                self.views.scale_factor, (self.views_per_step,)),
+        }
+        return shard_batch(self.mesh, cams), shard_batch(self.mesh, view)
+
+    def _grow_capacity(self, new_capacity: int):
+        """Overflow path: recompact alive splats into a larger buffer and
+        carry the Adam moments over slot-for-slot (the static-capacity
+        answer to the reference's tensor reallocation,
+        gaussian_model.py:500-560)."""
+        from g4splat_tpu.train.densify import compact_and_grow
+
+        old = self.scene
+        old_cap = old.capacity
+        alive_idx = np.flatnonzero(np.asarray(old.alive))
+        n = len(alive_idx)
+        self.scene = compact_and_grow(old, new_capacity)
+
+        def remap(x):
+            if (isinstance(x, jnp.ndarray) and x.ndim >= 1
+                    and x.shape[0] == old_cap):
+                out = jnp.zeros((new_capacity,) + x.shape[1:], x.dtype)
+                return out.at[:n].set(jnp.asarray(np.asarray(x)[alive_idx]))
+            return x
+
+        self.opt_state = jax.tree.map(
+            remap, self.opt_state,
+            is_leaf=lambda x: isinstance(x, jnp.ndarray),
+        )
+        self.dstate = DensifyState.zero(new_capacity)
+        if self.mesh is not None:
+            from g4splat_tpu.parallel.mesh import replicate
+
+            self.scene = replicate(self.mesh, self.scene)
+            self.opt_state = replicate(self.mesh, self.opt_state)
+            self.dstate = replicate(self.mesh, self.dstate)
+        if self.cfg.use_mip_filter:
+            self.scene = self._mip(self.scene, self.cameras)
+
     def step(self, sync_metrics: bool = True) -> Dict[str, float]:
         self.iteration += 1
         it = self.iteration
@@ -342,13 +537,20 @@ class Trainer:
         if it % cfg.sh_increase_interval == 0:
             self.scene = self.scene.one_up_sh_degree()
 
-        v = self._next_view()
-        cam, view = self._view_slice(v)
         self.key, sub = jax.random.split(self.key)
-        self.scene, self.opt_state, self.dstate, metrics = train_step(
-            self.scene, self.opt_state, self.dstate, cam, view,
-            jnp.asarray(it), sub, cfg, self.optimizer,
-        )
+        if self.mesh is not None:
+            cams, view = self._dp_batch()
+            self.scene, self.opt_state, self.dstate, metrics = self._dp_step(
+                self.scene, self.opt_state, self.dstate, cams, view,
+                jnp.asarray(it), sub,
+            )
+        else:
+            v = self._next_view()
+            cam, view = self._view_slice(v)
+            self.scene, self.opt_state, self.dstate, metrics = train_step(
+                self.scene, self.opt_state, self.dstate, cam, view,
+                jnp.asarray(it), sub, cfg, self.optimizer,
+            )
 
         if cfg.densify_from_iter <= it < cfg.densify_until_iter:
             if it % cfg.densification_interval == 0:
@@ -362,7 +564,19 @@ class Trainer:
                     cfg.percent_dense,
                 )
                 self.opt_state = self._zero_moments(self.opt_state, changed)
-                if cfg.use_mip_filter:
+                # Overflow → grow the static buffer on the host (capacity
+                # doubles, bounded by cfg.max_capacity; the sync costs one
+                # round-trip per densify interval).
+                if (int(report.n_dropped) > 0
+                        and self.scene.capacity < cfg.max_capacity):
+                    new_cap = min(
+                        cfg.max_capacity,
+                        max(2 * self.scene.capacity,
+                            self.scene.capacity + 4096),
+                    )
+                    self._grow_capacity(new_cap)
+                    self._view_cache = {}
+                elif cfg.use_mip_filter:
                     self.scene = self._mip(self.scene, self.cameras)
             if it % cfg.opacity_reset_interval == 0:
                 self.scene = self._reset_opacity(self.scene)

@@ -96,6 +96,115 @@ class TestDataParallel:
             np.asarray(scene2.xyz), np.asarray(ref_params["xyz"]), atol=1e-5
         )
 
+    def test_dp_training_with_densify_matches_mesh1(self):
+        """VERDICT item 4: the full DP training step (grads pmean'd AND
+        densify stats psum'd) is invariant to the mesh size, so a subsequent
+        densify/prune produces the identical scene."""
+        if not _ISOLATED:
+            env = dict(os.environ, G4_TEST_PARALLEL_DIRECT="1")
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", __file__, "-x", "-q",
+                 "-k", "dp_training_with_densify"],
+                env=env, capture_output=True, text=True, timeout=1200,
+            )
+            assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-4000:]
+            return
+        self._run_dp_densify_equivalence()
+
+    def _run_dp_densify_equivalence(self):
+        import __graft_entry__ as ge
+
+        from g4splat_tpu.train.densify import DensifyState, densify_and_prune
+        from g4splat_tpu.train.trainer import (
+            TrainConfig,
+            make_dp_train_step,
+            make_optimizer,
+            scene_params,
+        )
+
+        cfg = TrainConfig(
+            use_mip_filter=False, use_depth_order=False, backend="tiled",
+            densify_from_iter=0, densify_until_iter=10_000,
+            densify_grad_threshold=1e-7,   # low → clones/splits actually fire
+        )
+        optimizer = make_optimizer(cfg)
+        dens = jax.jit(densify_and_prune, static_argnames=("max_screen_size",))
+
+        results = []
+        for n_data in (1, 8):
+            # Fresh (deterministic) inputs per mesh size: the DP step donates
+            # its scene/opt/dstate buffers.
+            scene, cameras, views = ge._tiny_problem(n_views=8)
+            views["scale_factor"] = jnp.full((8,), 10.0)
+            mesh = make_mesh(n_data=n_data, devices=jax.devices()[:n_data])
+            step = make_dp_train_step(mesh, cfg, optimizer)
+            s = replicate(mesh, scene)
+            o = replicate(mesh, optimizer.init(scene_params(scene)))
+            d = replicate(mesh, DensifyState.zero(scene.capacity))
+            s2, o2, d2, m = step(
+                s, o, d, shard_batch(mesh, cameras), shard_batch(mesh, views),
+                jnp.asarray(1), jax.random.PRNGKey(0),
+            )
+            s3, _, _, report = dens(
+                jax.random.PRNGKey(7), s2, d2, 1.0,
+                cfg.densify_grad_threshold, 0.05, 0.0, cfg.percent_dense,
+            )
+            results.append((np.asarray(d2.grad_accum), np.asarray(d2.denom),
+                            np.asarray(s3.xyz), np.asarray(s3.alive),
+                            float(m["loss"]), report))
+        a, b = results
+        np.testing.assert_allclose(a[4], b[4], rtol=1e-4)        # loss
+        # The screen-grad statistic is a catastrophically-cancelling
+        # scatter-add sum: XLA's f32 accumulation order differs between the
+        # 1- and 8-device SPMD modules, so it is mesh-invariant only up to
+        # an ABSOLUTE reassociation floor (~1e-3 here; primal drift is 2e-6,
+        # verified A/B/C/C2 ablation 2026-08-17). Decisions downstream are
+        # insensitive: hot/cold flips need a sign change, and the stat is a
+        # norm ≥ 0.
+        np.testing.assert_allclose(a[0], b[0], atol=8e-3)        # psum'd stats
+        np.testing.assert_allclose(a[1], b[1], atol=0)           # denom counts
+        # Adam's bias-corrected first step is ~sign(g)·lr, so a reassociation
+        # sign flip on a near-zero cancelling grad component moves a param by
+        # up to 2·lr (scaling_lr 5e-3 feeds split-child positions).
+        np.testing.assert_allclose(a[2], b[2], atol=2e-2)        # densified xyz
+        np.testing.assert_array_equal(a[3], b[3])                # alive masks
+        n_new = int(results[0][5].n_cloned) + int(results[0][5].n_split)
+        assert n_new > 0, "densify never fired — test is vacuous"
+
+    def test_trainer_dp_mode_smoke(self):
+        if not _ISOLATED:
+            env = dict(os.environ, G4_TEST_PARALLEL_DIRECT="1")
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", __file__, "-x", "-q",
+                 "-k", "trainer_dp_mode"],
+                env=env, capture_output=True, text=True, timeout=1200,
+            )
+            assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-4000:]
+            return
+        import __graft_entry__ as ge
+
+        from g4splat_tpu.train.trainer import TrainConfig, Trainer, ViewData
+
+        scene, cameras, views = ge._tiny_problem(n_views=8)
+        vd = ViewData(
+            image=views["image"], prior_depth=views["prior_depth"],
+            prior_normal=views["prior_normal"],
+            prior_curv=views["prior_curv"], confidence=views["confidence"],
+            color_weight=views["color_weight"], scale_factor=jnp.asarray(10.0),
+        )
+        cfg = TrainConfig(
+            use_mip_filter=True, use_depth_order=False, backend="tiled",
+            densify_from_iter=0, densification_interval=2,
+            densify_until_iter=1000, densify_grad_threshold=1e-7,
+            opacity_reset_interval=2,
+        )
+        mesh = make_mesh(n_data=8)
+        tr = Trainer(scene, cameras, vd, cfg, mesh=mesh)
+        hist = tr.train(2, log_every=1)
+        assert len(hist) == 2
+        assert all(np.isfinite(h["loss"]) for h in hist), hist
+        assert int(tr.scene.num_alive) > 0
+
     def test_shard_batch_places_across_devices(self):
         mesh = make_mesh(n_data=8)
         x = jnp.arange(16.0).reshape(16, 1)
