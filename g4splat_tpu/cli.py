@@ -135,17 +135,40 @@ def main(argv=None):
         PipelineConfig,
     )
 
+    # View split (reference --use_view_config + split-{N}views.json,
+    # train.py:99-114 / eval/eval.py:67-80): train ids select the training
+    # views, test ids become the held-out eval set.
+    image_idx = args.image_idx
+    test_ids: list = []
+    if args.use_view_config and not image_idx:
+        from g4splat_tpu.io.splits import load_view_split
+
+        split = load_view_split(args.source_path, args.config_view_num)
+        if split is not None:
+            image_idx, test_ids = split
+
     images, files = load_scene_images(
-        args.source_path, args.n_images, args.image_idx, args.work_size
+        args.source_path, args.n_images, image_idx, args.work_size
     )
-    cameras = None
+    test_images = None
+    if test_ids:
+        test_images, _ = load_scene_images(
+            args.source_path, None, test_ids, args.work_size
+        )
+
+    cameras = test_cameras = None
     sparse_dir = os.path.join(args.source_path, "sparse", "0")
     if args.sfm_config == "posed" and os.path.isdir(sparse_dir):
         from g4splat_tpu.core.cameras import stack_cameras
 
         cams, imgs_meta, _ = colmap_io.read_model(sparse_dir)
         fw = colmap_io.to_framework_cameras(cams, imgs_meta)
-        cameras = stack_cameras([c for _, c in fw[: len(images)]])
+        if image_idx:
+            cameras = stack_cameras([fw[i][1] for i in image_idx])
+        else:
+            cameras = stack_cameras([c for _, c in fw[: len(images)]])
+        if test_ids:
+            test_cameras = stack_cameras([fw[i][1] for i in test_ids])
 
     cfg = PipelineConfig(
         source_path=args.source_path,
@@ -170,7 +193,9 @@ def main(argv=None):
         render_backend=args.render_backend,
     )
     pipeline = G4SplatPipeline(cfg, build_priors(args))
-    results = pipeline.run(images, cameras=cameras)
+    results = pipeline.run(images, cameras=cameras,
+                           test_images=test_images,
+                           test_cameras=test_cameras)
     print(results)
     return 0
 

@@ -97,7 +97,7 @@ def render(
     surf_normal_world = surf_normal_world * jax.lax.stop_gradient(alpha)[..., None]
     surf_normal_cam = surf_normal_world @ R_c2w  # world→cam rotation
 
-    return {
+    out = {
         "render": color,
         "radii": prep.radius,
         "visibility_filter": prep.radius > 0,
@@ -113,3 +113,44 @@ def render(
         "final_T": final_T,
         "n_contrib": n_contrib,
     }
+    if _DEBUG_DUMP:
+        _dump_if_nonfinite(out, camera, scene, backend)
+    return out
+
+
+# Debug dump-on-nonfinite (reference dump-on-error plumbing,
+# diff_surfel_rasterization/__init__.py:83-90 snapshot_fw.dump): set
+# G4_DEBUG_DUMP=/path/dir to snapshot the rasterizer inputs whenever a render
+# output goes non-finite. Costs one host sync per render — debug only. Under
+# jit-of-render the check cannot run (traced values); it guards the common
+# eager/orchestrator call sites.
+import os as _os
+
+_DEBUG_DUMP = _os.environ.get("G4_DEBUG_DUMP", "")
+
+
+def _dump_if_nonfinite(out, camera, scene, backend):
+    import numpy as np
+
+    if isinstance(out["render"], jax.core.Tracer):
+        return  # inside jit: values are abstract, nothing to check
+    bad = [k for k, v in out.items()
+           if v.dtype.kind == "f" and not bool(jnp.isfinite(v).all())]
+    if not bad:
+        return
+    _os.makedirs(_DEBUG_DUMP, exist_ok=True)
+    path = _os.path.join(_DEBUG_DUMP, "snapshot_fw.npz")
+    np.savez_compressed(
+        path,
+        bad_outputs=np.array(bad),
+        backend=np.array(backend),
+        w2c=np.asarray(camera.w2c), fx=np.asarray(camera.fx),
+        fy=np.asarray(camera.fy), cx=np.asarray(camera.cx),
+        cy=np.asarray(camera.cy),
+        xyz=np.asarray(scene.xyz), scaling_raw=np.asarray(scene.scaling_raw),
+        rotation_raw=np.asarray(scene.rotation_raw),
+        opacity_raw=np.asarray(scene.opacity_raw),
+        f_dc=np.asarray(scene.f_dc), alive=np.asarray(scene.alive),
+    )
+    print(f"[g4splat] non-finite render outputs {bad} — inputs dumped to "
+          f"{path}")

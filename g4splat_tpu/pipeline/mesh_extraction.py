@@ -196,6 +196,122 @@ def eval_tsdf_colors(pts, cameras, rgbs, depths, tsdf_cfg, chunk):
     return out.colors
 
 
+def _verts_covered(cameras: Camera, verts: np.ndarray,
+                   depth_trunc: float) -> np.ndarray:
+    """(n_verts,) True where some camera both sees the vertex (in-frustum)
+    and sees it closer than depth_trunc (render_multires.py:163-180)."""
+    covered = np.zeros(len(verts), bool)
+    vj = jnp.asarray(verts, jnp.float32)
+    for i in range(cameras.w2c.shape[0]):
+        cam = jax.tree.map(lambda x, i=i: x[i], cameras)
+        xy, z = cam.project(vj)
+        W, H = int(cam.width), int(cam.height)
+        in_img = (
+            (xy[:, 0] >= 0) & (xy[:, 0] < W)
+            & (xy[:, 1] >= 0) & (xy[:, 1] < H) & (z > 0)
+        )
+        covered |= np.asarray(in_img & (z < depth_trunc))
+    return covered
+
+
+def extract_mesh_multires_tsdf(
+    scene: GaussianScene,
+    cameras: Camera,
+    factors: Sequence[float] = (2.0, 8.0, 16.0),
+    resolution: int = 128,
+    mesh_res: int = 1024,
+    depth_ratio: float = 1.0,
+    backend: str = "pallas",
+    point_chunk: int = 262_144,
+) -> ExtractedMesh:
+    """Multi-resolution TSDF mesh merge (render_multires.py:97-206).
+
+    Per factor f: depth_trunc = camera-extent·f, sdf_trunc = 5·(trunc /
+    mesh_res) — the reference's open3d parameterization; depths beyond the
+    trunc are zeroed exactly like open3d's depth_trunc. The per-level meshes
+    are merged by dropping every coarser-level face whose vertices are all
+    inside some camera's frustum AND closer than the previous (finer) level's
+    depth_trunc — the near field is already covered there (:160-186).
+
+    TPU-native deviation: open3d's scalable voxel hash becomes a dense
+    lattice of `resolution`³ shared across levels (sdf_trunc is clamped to
+    one lattice cell from below so crossings stay resolvable).
+    """
+    from g4splat_tpu.ops.tetra import cube_grid_to_tets
+
+    extent = max(cameras_spatial_extent(cameras), 1e-6)
+    alive = np.asarray(scene.alive)
+    pts = np.asarray(scene.xyz)[alive]
+    lo = pts.min(0) - 0.05 * (pts.max(0) - pts.min(0))
+    hi = pts.max(0) + 0.05 * (pts.max(0) - pts.min(0))
+    xs = np.linspace(lo[0], hi[0], resolution)
+    ys = np.linspace(lo[1], hi[1], resolution)
+    zs = np.linspace(lo[2], hi[2], resolution)
+    grid_pts = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), axis=-1)
+    grid_pts = grid_pts.reshape(-1, 3).astype(np.float32)
+    cell = float((hi - lo).max() / (resolution - 1))
+    _, tets = cube_grid_to_tets((resolution, resolution, resolution))
+
+    # SH degree 0: diffuse texture only (render_multires.py:100-101).
+    rgbs, depths, _, _, _ = render_all_views(
+        scene, cameras, depth_ratio, backend, sh_degree=0
+    )
+
+    meshes = []
+    depth_truncs = []
+    for f in factors:
+        depth_trunc = extent * float(f)
+        sdf_trunc = max(5.0 * depth_trunc / mesh_res, cell)
+        d = jnp.where(depths <= depth_trunc, depths, 0.0)
+        tsdf_cfg = TSDFConfig(trunc_margin=sdf_trunc)
+        out = integrate_views_chunked(grid_pts, cameras, rgbs, d, tsdf_cfg,
+                                      chunk=point_chunk)
+        mt = marching_tetrahedra(grid_pts, tets, out.tsdf,
+                                 np.full(len(grid_pts), cell, np.float32))
+        # open3d extracts surface only where voxels were observed
+        # (weight > 0); crossings into never-observed space are phantom
+        # silhouette shells — drop faces touching them.
+        observed = out.weights > 0
+        bad_edge = ~observed[mt.edges].all(axis=1)
+        mt = mt._replace(faces=mt.faces[~bad_edge[mt.faces].any(axis=1)])
+        s0 = np.abs(mt.edge_sdf[:, 0])
+        s1 = np.abs(mt.edge_sdf[:, 1])
+        w = (s0 / np.maximum(s0 + s1, 1e-12))[:, None]
+        verts = (mt.edge_verts[:, 0] * (1 - w)
+                 + mt.edge_verts[:, 1] * w).astype(np.float32)
+        colors = np.clip(
+            eval_tsdf_colors(verts, cameras, rgbs, d, tsdf_cfg, point_chunk),
+            0, 1,
+        ) if len(verts) else np.zeros((0, 3), np.float32)
+        meshes.append(ExtractedMesh(verts, mt.faces, colors))
+        depth_truncs.append(depth_trunc)
+
+    # Merge: level 0 kept whole; level i>0 drops redundant near-field faces.
+    all_v, all_f, all_c = [], [], []
+    offset = 0
+    for i, mesh in enumerate(meshes):
+        faces = mesh.faces
+        if i > 0 and len(faces):
+            non_valid = _verts_covered(cameras, mesh.vertices,
+                                       depth_truncs[i - 1])
+            keep = ~non_valid[faces].all(axis=1)
+            faces = faces[keep]
+        if len(faces) == 0:
+            continue
+        all_v.append(mesh.vertices)
+        all_f.append(faces + offset)
+        all_c.append(mesh.vertex_colors)
+        offset += len(mesh.vertices)
+    if not all_v:
+        return ExtractedMesh(np.zeros((0, 3), np.float32),
+                             np.zeros((0, 3), np.int32),
+                             np.zeros((0, 3), np.float32))
+    return ExtractedMesh(
+        np.concatenate(all_v), np.concatenate(all_f).astype(np.int32),
+        np.concatenate(all_c),
+    )
+
+
 def extract_mesh_grid_tsdf(
     scene: GaussianScene,
     cameras: Camera,

@@ -22,6 +22,7 @@ smoke tests.
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from dataclasses import dataclass, field
@@ -65,6 +66,9 @@ class PipelineConfig:
     use_mesh_filter: bool = False
     use_multires_tsdf: bool = False
     tsdf_resolution: int = 128
+    # Per-level depth_trunc = camera-extent × factor
+    # (render_multires.py --multires_factors default 2/8/16)
+    multires_factors: Tuple[float, ...] = (2.0, 8.0, 16.0)
     use_downsample_gaussians: bool = False
     downsample_gaussians_type: str = "warp"
     warp_depth_error_thresh: float = 0.01
@@ -81,6 +85,16 @@ class PipelineConfig:
     dense_regul: str = "default"
     # Working resolution knobs (reference: SfM at 512, charts at pointmap res)
     work_size: int = 512
+    # See3D MVD runs at a fixed square resolution (see3d_util.py:149-150,
+    # height_mvd = width_mvd = 512); None = keep the warp resolution (tests).
+    mvd_resolution: Optional[int] = 512
+    # Frames per MVD batch beyond the pinned refs. The reference uses the
+    # whole sequence in one batch (grounp_size = len(masks_infer),
+    # see3d_util.py:190); smaller values exercise last-prediction chaining.
+    see3d_group_size: Optional[int] = None
+    # Optional 2× super-resolution re-inpainting pass
+    # (see3d_util.py --super_resolution, :223-275).
+    see3d_super_resolution: bool = False
     train_iterations: int = 7000
     gaussian_capacity: int = 2_000_000
     render_backend: str = "pallas"
@@ -94,6 +108,7 @@ class Priors:
     mast3r: Optional[object] = None            # MASt3RModel
     sam_generator: Optional[object] = None     # callable image → masks
     see3d: Optional[object] = None             # See3DPipeline
+    see3d_sr: Optional[object] = None          # SR-checkpoint See3DPipeline
     vae: Optional[object] = None               # (module, params)
     image_embedder: Optional[object] = None    # callable image → tokens
 
@@ -118,6 +133,11 @@ class PipelineState:
     fitted_planes: List[Dict] = field(default_factory=list)
     scene: object = None                 # GaussianScene
     color_weights: np.ndarray = None     # (V,)
+    # Held-out eval split (reference split-{N}views.json, eval/eval.py:67-86)
+    test_images: np.ndarray = None       # (T, H, W, 3)
+    test_cameras: Camera = None          # batched (T,)
+    # Global view ids added by the latest See3D stage (anchor_view_id.json)
+    anchor_view_ids: List[int] = field(default_factory=list)
 
 
 class ArtifactStore:
@@ -168,11 +188,34 @@ class G4SplatPipeline:
         return _T()
 
     # ---------------------------------------------------------------- stages
-    def load_inputs(self, images: np.ndarray, cameras: Optional[Camera] = None):
-        """Load images (+ calibrated cameras in posed mode)."""
-        self.state.images = np.asarray(images, np.float32)
+    def load_inputs(self, images: np.ndarray, cameras: Optional[Camera] = None,
+                    test_images: Optional[np.ndarray] = None,
+                    test_cameras: Optional[Camera] = None):
+        """Load images (+ calibrated cameras in posed mode).
+
+        Held-out eval views come either explicitly (``test_images`` /
+        ``test_cameras``, e.g. loaded from a split-{N}views.json by the CLI)
+        or via ``cfg.eval_split``: indices of the PROVIDED views to hold out
+        of training and evaluate against (reference eval.py:67-86)."""
+        images = np.asarray(images, np.float32)
+        if self.cfg.eval_split:
+            test_ids = sorted(set(int(i) for i in self.cfg.eval_split))
+            train_ids = [i for i in range(len(images)) if i not in test_ids]
+            assert train_ids, "eval_split holds out every view"
+            test_images = images[test_ids]
+            if cameras is not None:
+                test_cameras = jax.tree.map(
+                    lambda x: x[np.asarray(test_ids)], cameras)
+                cameras = jax.tree.map(
+                    lambda x: x[np.asarray(train_ids)], cameras)
+            images = images[train_ids]
+        self.state.images = images
         self.state.cameras = cameras
         self.state.input_view_num = len(images)
+        self.state.test_images = (
+            np.asarray(test_images, np.float32)
+            if test_images is not None else None)
+        self.state.test_cameras = test_cameras
         w0 = 0.01 if self.cfg.downweight_input_view_color_loss else 1.0
         self.state.color_weights = np.full(len(images), w0, np.float32)
 
@@ -185,9 +228,36 @@ class G4SplatPipeline:
         st = self.state
         V, H, W = st.images.shape[:3]
         with self._timed("sfm"):
-            assert self.priors.mast3r is not None, "posed-only without MASt3R"
+            if st.cameras is not None and self.cfg.sfm_config == "posed":
+                # Posed-mode rectification: pp → center, fx == fy
+                # (run_mast3r.py:441-600).
+                st.images, st.cameras = S.rectify_to_center_pp(
+                    st.images, st.cameras)
+            if self.priors.mast3r is None:
+                # Graceful degradation (Priors contract): posed mode can
+                # bootstrap depths from the mono prior (or a flat far plane)
+                # instead of hard-requiring MASt3R; unposed cannot.
+                assert (st.cameras is not None
+                        and self.cfg.sfm_config == "posed"), \
+                    "unposed SfM requires the MASt3R prior"
+                self._posed_depth_bootstrap()
+                return
             model = self.priors.mast3r
-            pair_ids = S.build_pairs_exhaustive(V)
+            # Scene-graph pairs: exhaustive for sparse view sets, retrieval
+            # shortlist above ~20 views (image_pairs.make_pairs
+            # 'retrieval-Na-k', run_mast3r.py:602-627) — dense-view mode
+            # would otherwise pay O(V²) MASt3R passes.
+            if V > 20:
+                from g4splat_tpu.pipeline.retrieval import retrieval_pairs
+
+                feats = [
+                    np.asarray(model.encode_image(
+                        jnp.asarray(st.images[v:v + 1]))[0])
+                    for v in range(V)
+                ]
+                pair_ids = retrieval_pairs(feats, exhaustive_threshold=20)
+            else:
+                pair_ids = S.build_pairs_exhaustive(V)
             pair_outputs = {}
             pairs = []
             for (i, j) in pair_ids:
@@ -241,6 +311,35 @@ class G4SplatPipeline:
             st.depths = res.depthmaps.copy()
             self._write_colmap(res)
 
+    def _posed_depth_bootstrap(self):
+        """Posed mode without MASt3R: depths from the DA2 mono prior scaled
+        to the camera extent (or a flat plane at the extent), then the normal
+        SfM writeout so downstream stages see the same artifacts."""
+        from g4splat_tpu.pipeline.mesh_extraction import cameras_spatial_extent
+        from g4splat_tpu.pipeline.sfm import SfMResult
+
+        st = self.state
+        V, H, W = st.images.shape[:3]
+        extent = max(cameras_spatial_extent(st.cameras), 1e-3)
+        depths = []
+        for v in range(V):
+            if self.priors.depth_model is not None:
+                disp = np.asarray(
+                    self.priors.depth_model.infer_image(st.images[v]))
+                d = 1.0 / np.maximum(disp, 1e-6)
+                d = d * (extent / max(float(np.median(d)), 1e-9))
+            else:
+                d = np.full((H, W), extent, np.float32)
+            depths.append(d.astype(np.float32))
+        st.prior_depths = np.stack(depths)
+        st.depths = st.prior_depths.copy()
+        res = SfMResult(
+            w2c=np.asarray(st.cameras.w2c),
+            focals=np.asarray(st.cameras.fx),
+            depthmaps=st.depths, losses=[],
+        )
+        self._write_colmap(res)
+
     def _write_colmap(self, res):
         st = self.state
         V, H, W = st.images.shape[:3]
@@ -280,10 +379,68 @@ class G4SplatPipeline:
         st.sfm_points = np.concatenate(all_pts)
         st.sfm_point_colors = np.concatenate(all_cols)
         colmap_io.write_model(cams, images, pts, self.store.sparse)
+        sfm_root = os.path.dirname(os.path.dirname(self.store.sparse))
         save_point_cloud_ply(
-            os.path.join(os.path.dirname(self.store.sparse), "points.ply"),
+            os.path.join(sfm_root, "points.ply"),
             st.sfm_points, st.sfm_point_colors,
         )
+        # cameras.json (run_mast3r.py:748-754).
+        c2w = [np.linalg.inv(res.w2c[v]).tolist() for v in range(V)]
+        with open(os.path.join(sfm_root, "cameras.json"), "w") as f:
+            json.dump({
+                "filepaths": [f"frame_{v:06d}.png" for v in range(V)],
+                "focals": [float(res.focals[v]) for v in range(V)],
+                "cams2world": c2w,
+            }, f)
+        # pointmaps/<name>.json (run_mast3r.py:960-971): per-view canonical
+        # points + confidences (rgb omitted like the use_all_images branch).
+        pm_dir = os.path.join(sfm_root, "pointmaps")
+        os.makedirs(pm_dir, exist_ok=True)
+        for v in range(V):
+            cam = jax.tree.map(lambda x, v=v: x[v], st.cameras)
+            pw = np.asarray(cam.backproject(jnp.asarray(res.depthmaps[v])))
+            with open(os.path.join(pm_dir, f"frame_{v:06d}.json"), "w") as f:
+                json.dump({
+                    "rgb": None,
+                    "points": pw.reshape(-1, 3).tolist(),
+                    "confs": np.ones(pw.shape[0] * pw.shape[1],
+                                     np.float32).tolist(),
+                }, f)
+        # Posed mode: all-sparse/0 (every calibrated view, original
+        # intrinsics, run_mast3r.py:848-897) and dense-view-sparse/0
+        # (dense_view.json subset, :899-948).
+        if self.cfg.sfm_config == "posed" and self.cfg.source_path:
+            src_sparse = os.path.join(self.cfg.source_path, "sparse", "0")
+            if os.path.isdir(src_sparse):
+                try:
+                    acams, aimgs, _ = colmap_io.read_model(src_sparse)
+                except Exception:
+                    acams = aimgs = None
+                if acams:
+                    all_dir = os.path.join(sfm_root, "all-sparse", "0")
+                    os.makedirs(all_dir, exist_ok=True)
+                    colmap_io.write_model(acams, aimgs, {}, all_dir)
+                    dv_json = os.path.join(self.cfg.source_path,
+                                           "dense_view.json")
+                    if os.path.exists(dv_json):
+                        with open(dv_json) as f:
+                            dense_ids = json.load(f)["train"]
+                        img_items = sorted(aimgs.items())
+                        d_cams, d_imgs = {}, {}
+                        for k, idx in enumerate(dense_ids):
+                            _, im = img_items[idx]
+                            cam_src = acams[im.camera_id]
+                            d_cams[k + 1] = colmap_io.ColmapCamera(
+                                k + 1, cam_src.model, cam_src.width,
+                                cam_src.height, cam_src.params,
+                            )
+                            d_imgs[k + 1] = colmap_io.ColmapImage(
+                                k + 1, im.qvec, im.tvec, k + 1, im.name,
+                            )
+                        dv_dir = os.path.join(sfm_root,
+                                              "dense-view-sparse", "0")
+                        os.makedirs(dv_dir, exist_ok=True)
+                        colmap_io.write_model(d_cams, d_imgs, {}, dv_dir)
 
     def align_charts(self):
         """Chart alignment (P3): DA2 mono depth affine-aligned to SfM depths,
@@ -338,12 +495,19 @@ class G4SplatPipeline:
             normals, curvs, pid_maps = [], [], []
             all_pts = []
             next_id = 1
+            prior_depths = (st.prior_depths if st.prior_depths is not None
+                            else st.depths)
             for v in range(V):
                 cam = jax.tree.map(lambda x: x[v], st.cameras)
+                # depth_normal = normal from the chart depth; mono_normal =
+                # normal from the DA2-aligned mono depth (the MAtCha normal
+                # prior) — the reference writes both (render_chart_views.py).
                 n = np.asarray(depth_to_normal(cam, jnp.asarray(st.depths[v])))
-                normals.append(n)
+                mono_n = np.asarray(
+                    depth_to_normal(cam, jnp.asarray(prior_depths[v])))
+                normals.append(mono_n)
                 curvs.append(np.asarray(
-                    normal_to_curvature(jnp.asarray(n))
+                    normal_to_curvature(jnp.asarray(mono_n))
                 ))
                 pts = np.asarray(cam.backproject(jnp.asarray(st.depths[v])))
                 H, W = st.depths[v].shape
@@ -359,9 +523,30 @@ class G4SplatPipeline:
                     os.path.join(self.store.plane_root,
                                  f"depth_frame{v:06d}.tiff"), st.depths[v],
                 )
+                save_depth_tiff(
+                    os.path.join(self.store.plane_root,
+                                 f"mono_depth_frame{v:06d}.tiff"),
+                    prior_depths[v],
+                )
                 np.save(
                     os.path.join(self.store.plane_root,
-                                 f"mono_normal_world_frame{v:06d}.npy"), n,
+                                 f"depth_normal_world_frame{v:06d}.npy"), n,
+                )
+                np.save(
+                    os.path.join(self.store.plane_root,
+                                 f"mono_normal_world_frame{v:06d}.npy"),
+                    mono_n,
+                )
+            # Multi-view covisibility counts (build_visibility_masks,
+            # guidance/cam_utils.py:1620 → visibility_frame*.npy).
+            from g4splat_tpu.pipeline.confidence import build_visibility_masks
+
+            vis_counts, _ = build_visibility_masks(st.cameras, st.depths)
+            for v in range(V):
+                np.save(
+                    os.path.join(self.store.plane_root,
+                                 f"visibility_frame{v:06d}.npy"),
+                    vis_counts[v],
                 )
             st.normals = np.stack(normals)
             st.curvs = np.stack(curvs)
@@ -405,9 +590,17 @@ class G4SplatPipeline:
                                    "global_3Dplane_ID_dict.json"), "w") as f:
                 json.dump({str(k): v for k, v in st.global_plane_dict.items()}, f)
 
-    def refine_plane_depths(self):
-        """Plane-refined depth (P7) + confidence maps (P8)."""
-        from g4splat_tpu.pipeline.confidence import compute_confidence_maps
+    def refine_plane_depths(self, use_anchor_colors: bool = False):
+        """Plane-refined depth (P7) + confidence maps (P8).
+
+        ``use_anchor_colors`` selects the stage-3 variant
+        (plane_inconsistency_solver.py, train.py:342-343): plane colors are
+        harmonized from the latest stage's anchor views and the confident
+        maps become all-ones."""
+        from g4splat_tpu.pipeline.confidence import (
+            anchor_plane_color_harmonize,
+            compute_confidence_maps,
+        )
         from g4splat_tpu.pipeline.planes import refine_depths_with_planes
 
         st = self.state
@@ -426,7 +619,13 @@ class G4SplatPipeline:
                     refined[v],
                 )
             # Confidence maps: input-only case is all ones (P8).
-            if len(st.images) == st.input_view_num:
+            if use_anchor_colors and st.anchor_view_ids:
+                st.images = anchor_plane_color_harmonize(
+                    st.cameras, st.depths, st.images, st.plane_masks,
+                    st.global_plane_dict, st.anchor_view_ids,
+                )
+                st.confidences = np.ones_like(st.depths)
+            elif len(st.images) == st.input_view_num:
                 st.confidences = np.ones_like(st.depths)
             else:
                 pts = []
@@ -606,19 +805,36 @@ class G4SplatPipeline:
             stage_dir = os.path.join(self.store.see3d_root, f"stage{stage}")
             os.makedirs(os.path.join(stage_dir, "select-gs"), exist_ok=True)
 
+            sel_warps = [renders[vid] for vid in sel]
+            sel_masks = [alphas[vid] > 0.5 for vid in sel]
+            for k in range(len(sel)):
+                save_image(os.path.join(stage_dir, "select-gs",
+                                        f"warp_frame{k:06d}.png"), sel_warps[k])
+                save_mask_png(os.path.join(stage_dir, "select-gs",
+                                           f"mask_frame{k:06d}.png"),
+                              sel_masks[k])
+            if self.priors.see3d is not None and self.priors.vae is not None:
+                # All selected views jointly through the MV UNet, input views
+                # pinned as reference frames (see3d_util.py:145-220).
+                inpainted_all = self._run_see3d_inpaint(
+                    sel_warps, sel_masks, stage)
+            else:
+                inpainted_all = sel_warps  # no generative prior: keep renders
+            inp_dir = os.path.join(stage_dir, "select-gs-inpainted")
+            os.makedirs(inp_dir, exist_ok=True)
+            for k, img in enumerate(inpainted_all):
+                save_image(os.path.join(
+                    inp_dir, f"predict_warp_frame{k:06d}.png"), img)
+            if getattr(self, "_last_sr_preds", None):
+                for k, img in enumerate(self._last_sr_preds):
+                    save_image(os.path.join(
+                        inp_dir, f"SR_predict_warp_frame{k:06d}.png"), img)
+
             new_images, new_depths, new_cams = [], [], []
             for k, vid in enumerate(sel):
-                warp = renders[vid]
-                mask = alphas[vid] > 0.5
+                mask = sel_masks[k]
                 cam = jax.tree.map(lambda x: x[vid], cand)
-                save_image(os.path.join(stage_dir, "select-gs",
-                                        f"warp_frame{k:06d}.png"), warp)
-                save_mask_png(os.path.join(stage_dir, "select-gs",
-                                           f"mask_frame{k:06d}.png"), mask)
-                if self.priors.see3d is not None and self.priors.vae is not None:
-                    inpainted = self._run_see3d_inpaint(warp, mask, k)
-                else:
-                    inpainted = warp  # no generative prior: keep the render
+                inpainted = inpainted_all[k]
                 # Depth lift (P12): mono depth aligned to the rendered warp
                 # depth inside the visible mask, merged (see3d_dn_util.py).
                 if self.priors.depth_model is not None:
@@ -634,7 +850,10 @@ class G4SplatPipeline:
                 new_depths.append(depth)
                 new_cams.append(cam)
 
-            # Merge (P13): grow the training set.
+            # Merge (P13, guidance/merge_util.py:88-162): grow the training
+            # set, renumber the new views into the global stores, and record
+            # the stage's anchor view ids.
+            begin_idx = len(st.images)
             st.images = np.concatenate([st.images, np.stack(new_images)])
             st.depths = np.concatenate([st.depths, np.stack(new_depths)])
             cams_list = [
@@ -658,12 +877,71 @@ class G4SplatPipeline:
             # Refresh per-view plane inputs for the next refine pass.
             self.render_chart_views_light()
             self.excavate_planes()
-            np.savez(
-                os.path.join(self.store.see3d_root,
-                             f"stage{stage}_see3d_cameras.npz"),
-                w2c=np.stack([np.asarray(c.w2c) for c in new_cams]),
-                fx=np.stack([np.asarray(c.fx) for c in new_cams]),
-            )
+            # Anchor ids of this stage's views in the global plane store
+            # (merge_util.py:155-162 anchor_view_id.json) — the stage-3
+            # confidence pass restricts comparisons to these.
+            anchor_ids = list(range(begin_idx, begin_idx + len(sel)))
+            st.anchor_view_ids = anchor_ids
+            with open(os.path.join(self.store.plane_root,
+                                   "anchor_view_id.json"), "w") as f:
+                json.dump(anchor_ids, f)
+            # Renumbered copies into the global stores: inpainted_images/
+            # (merge_util.py:80-86) and plane-refine-depths/ (:119-153).
+            all_inp = os.path.join(self.store.see3d_root, "inpainted_images")
+            os.makedirs(all_inp, exist_ok=True)
+            for k, gid in enumerate(anchor_ids):
+                save_image(
+                    os.path.join(all_inp, f"predict_warp_frame{gid:06d}.png"),
+                    new_images[k],
+                )
+                save_image(
+                    os.path.join(self.store.plane_root,
+                                 f"rgb_frame{gid:06d}.png"), new_images[k])
+                save_depth_tiff(
+                    os.path.join(self.store.plane_root,
+                                 f"depth_frame{gid:06d}.tiff"), new_depths[k])
+                np.save(
+                    os.path.join(self.store.plane_root,
+                                 f"mono_normal_world_frame{gid:06d}.npy"),
+                    st.normals[gid])
+            self._write_see3d_cameras(stage, new_cams)
+
+    def _write_see3d_cameras(self, stage: int, new_cams):
+        """Stage camera archive + cumulative merge, reference npz schema
+        (render_novel_views.py:265-315 + merge_util.py:88-117): per-view
+        R_{i}/T_{i}/FoVx_{i}/FoVy_{i}/image_{width,height}_{i} + n_views +
+        train_views."""
+        st = self.state
+
+        def cam_entries(d, i, cam):
+            w2c = np.asarray(cam.w2c)
+            d[f"R_{i:06d}"] = w2c[:3, :3].T  # COLMAP-style R (world→cam)ᵀ
+            d[f"T_{i:06d}"] = w2c[:3, 3]
+            W, H = int(cam.width), int(cam.height)
+            d[f"FoVx_{i:06d}"] = 2.0 * math.atan(W / (2.0 * float(cam.fx)))
+            d[f"FoVy_{i:06d}"] = 2.0 * math.atan(H / (2.0 * float(cam.fy)))
+            d[f"image_width_{i:06d}"] = W
+            d[f"image_height_{i:06d}"] = H
+
+        stage_d: Dict = {"n_views": len(new_cams),
+                         "train_views": st.input_view_num}
+        for i, cam in enumerate(new_cams):
+            cam_entries(stage_d, i, cam)
+        np.savez(
+            os.path.join(self.store.see3d_root,
+                         f"stage{stage}_see3d_cameras.npz"), **stage_d)
+
+        cum_path = os.path.join(self.store.see3d_root, "see3d_cameras.npz")
+        if os.path.exists(cum_path):
+            cum = dict(np.load(cum_path))
+            prev = int(cum["n_views"])
+            os.remove(cum_path)
+        else:
+            cum, prev = {"train_views": st.input_view_num}, 0
+        for i, cam in enumerate(new_cams):
+            cam_entries(cum, prev + i, cam)
+        cum["n_views"] = prev + len(new_cams)
+        np.savez(cum_path, **cum)
 
     def dense_view_stage(self, dense_cameras: Camera):
         """Dense-view mode (P18, train.py:284-323 + render_dense_views.py +
@@ -737,92 +1015,200 @@ class G4SplatPipeline:
             [np.zeros((1, 3), np.float32)] + all_pts
         )
 
-    def _run_see3d_inpaint(self, warp, mask, idx):
-        import jax.numpy as jnp
+    def _run_see3d_inpaint(self, warps, masks, stage):
+        """True multi-view See3D inpainting (see3d_util.py:145-220).
 
-        vae_mod, vae_params = self.priors.vae
-        x = jnp.asarray(warp)[None] * 2.0 - 1.0
-        z = vae_mod.apply(vae_params, x, method=vae_mod.encode)
-        f = 2 ** (len(vae_mod.ch_mult) - 1)
-        m = jnp.asarray(mask, jnp.float32)[None, ::f, ::f, None]
-        ctx = (
-            self.priors.image_embedder(warp)
-            if self.priors.image_embedder is not None
-            else jnp.zeros((1, 4, self.priors.see3d.unet.cfg.context_dim))
-        )
-        out_z = self.priors.see3d.inpaint_latents(
-            jax.random.PRNGKey(idx), z, m, ctx
-        )
-        out = vae_mod.apply(vae_params, out_z, method=vae_mod.decode)
-        return np.asarray(jnp.clip((out[0] + 1.0) / 2.0, 0, 1))
-
-    def render_all(self, iteration: Optional[int] = None):
-        """Render train views (P14 render_multires --render_all_img).
-
-        On a multi-device mesh the views fan out over the `data` axis
-        (parallel.mesh.view_parallel_render): the render sweep is
-        embarrassingly parallel, so wall-clock scales ~linearly with chips.
+        All selected warps of a stage run through the MV UNet *jointly*,
+        with every input view pinned as an all-visible reference frame
+        (gt_num leading frames, pipeline_mvd_warp_mix_classifier.py:640-644),
+        CLIP image conditioning from the first reference view shared across
+        frames (:676-686), and last-prediction chaining between groups when
+        ``see3d_group_size`` splits the sequence (see3d_util.py:190-200).
+        Returns one inpainted image per warp, at the warp resolution.
         """
+        st = self.state
+        vae_mod, vae_params = self.priors.vae
+        res = self.cfg.mvd_resolution
+        H, W = np.asarray(warps[0]).shape[:2]
+
+        def to_mvd(img):
+            img = jnp.asarray(img, jnp.float32)
+            if res is not None and img.shape[:2] != (res, res):
+                img = jax.image.resize(
+                    img, (res, res) + img.shape[2:], "bilinear")
+            return img
+
+        refs = [to_mvd(st.images[v]) for v in range(st.input_view_num)]
+        gt_num = len(refs)
+        warp_l = [to_mvd(w) for w in warps]
+        mask_l = [to_mvd(np.asarray(m, np.float32)[..., None])[..., 0]
+                  for m in masks]
+        f = 2 ** (len(vae_mod.ch_mult) - 1)
+
+        def encode(imgs):
+            x = jnp.stack(imgs) * 2.0 - 1.0
+            return vae_mod.apply(vae_params, x, method=vae_mod.encode)
+
+        # Shared conditioning: the reference adds the CLIP image embedding of
+        # the first (reference) frame onto the prompt embedding and repeats
+        # it over all frames (:676-686).
+        if self.priors.image_embedder is not None:
+            ctx1 = jnp.asarray(self.priors.image_embedder(
+                np.asarray(refs[0])))
+            if ctx1.ndim == 2:
+                ctx1 = ctx1[None]
+        else:
+            ctx1 = jnp.zeros((1, 4, self.priors.see3d.unet.cfg.context_dim))
+
+        def run_groups(pipe, refs_g, warps_g, masks_g, group, key_base):
+            """Chained group loop (see3d_util.py:190-220): each group runs
+            refs + [last prediction] + its warps jointly; the chained frame
+            is re-generated and discarded."""
+            ones_g = jnp.ones_like(masks_g[0])
+            preds: list = []
+            i = 0
+            while i < len(warps_g):
+                chunk_w = warps_g[i:i + group]
+                chunk_m = masks_g[i:i + group]
+                extra_w = [jnp.asarray(preds[-1])] if preds else []
+                extra_m = [masks_g[i - 1]] if preds else []
+                frames = list(refs_g) + extra_w + list(chunk_w)
+                fmasks = [ones_g] * len(refs_g) + extra_m + list(chunk_m)
+                z = encode(frames)
+                m = jnp.stack(fmasks)[:, ::f, ::f, None]
+                ctx = jnp.tile(ctx1, (len(frames), 1, 1))
+                out_z = pipe.inpaint_latents(
+                    jax.random.PRNGKey(key_base + i), z, m, ctx,
+                    gt_num=len(refs_g),
+                )
+                dec = vae_mod.apply(
+                    vae_params, out_z[len(refs_g) + len(extra_w):],
+                    method=vae_mod.decode)
+                dec = jnp.clip((dec + 1.0) / 2.0, 0, 1)
+                preds.extend(np.asarray(d) for d in dec)
+                i += group
+            return preds
+
+        group = self.cfg.see3d_group_size or (gt_num + len(warp_l))
+        preds = run_groups(self.priors.see3d, refs, warp_l, mask_l, group,
+                           1000 * stage)
+
+        self._last_sr_preds = None
+        if self.cfg.see3d_super_resolution and preds:
+            # SR pass (see3d_util.py:223-275): re-inpaint at 2× with the
+            # low-res predictions as warps under the SAME visibility masks,
+            # chained over groups of (len+3)//2, using the SR checkpoint
+            # when one is wired (priors.see3d_sr), else the base MVD. Like
+            # the reference, SR outputs are SIDE artifacts (SR_predict_*);
+            # downstream stages keep consuming the base predictions.
+            def up2(img):
+                img = jnp.asarray(img, jnp.float32)
+                h2, w2 = 2 * img.shape[0], 2 * img.shape[1]
+                return np.asarray(jax.image.resize(
+                    img, (h2, w2) + img.shape[2:], "bilinear"))
+
+            sr_pipe = self.priors.see3d_sr or self.priors.see3d
+            refs_sr = [up2(r) for r in refs]
+            preds_sr = [up2(p) for p in preds]
+            masks_sr = [up2(m[..., None])[..., 0] for m in mask_l]
+            group_sr = (gt_num + len(preds_sr) + 3) // 2
+            self._last_sr_preds = run_groups(
+                sr_pipe, refs_sr, preds_sr, masks_sr, group_sr,
+                500_000 + 1000 * stage)
+
+        outs = []
+        for p in preds:
+            if p.shape[:2] != (H, W):
+                p = np.asarray(jax.image.resize(
+                    jnp.asarray(p), (H, W, 3), "bilinear"))
+            outs.append(np.clip(p, 0.0, 1.0))
+        return outs
+
+    def _render_camera_batch(self, cameras: Camera, n_views: int,
+                             out_dir: str) -> np.ndarray:
+        """Render a stacked camera batch, fanning out over the device mesh
+        when one is available (views are embarrassingly parallel over the
+        `data` axis; wall-clock scales ~linearly with chips)."""
         from g4splat_tpu.ops.rasterize import render
         from g4splat_tpu.ops.rasterize_common import RenderConfig
 
         st = self.state
-        it = iteration or self.cfg.train_iterations
-        out_dir = self.store.renders_dir("train", it)
-        n_views = st.input_view_num
-        n_dev = len(jax.devices())
-        with self._timed("render_all"):
-            if n_dev > 1 and n_views >= n_dev:
-                from g4splat_tpu.parallel.mesh import (
-                    make_mesh, replicate, shard_batch, view_parallel_render,
-                )
+        n_dev = min(len(jax.devices()), n_views)
+        if n_dev > 1:
+            from g4splat_tpu.parallel.mesh import (
+                make_mesh, replicate, shard_batch, view_parallel_render,
+            )
 
-                mesh = make_mesh(n_data=n_dev)
-                # Pad the view batch up to a multiple of the mesh by
-                # repeating the last camera; drop the tail after gathering.
-                pad = (-n_views) % n_dev
-                cams = jax.tree.map(lambda x: x[:n_views], st.cameras)
-                if pad:
-                    cams = jax.tree.map(
-                        lambda x: jnp.concatenate(
-                            [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0
-                        ),
-                        cams,
-                    )
-                out = view_parallel_render(
-                    mesh, replicate(mesh, st.scene),
-                    shard_batch(mesh, cams),
-                    backend=self.cfg.render_backend, keys=("render",),
+            # Small view sets still fan out over a smaller mesh instead of
+            # falling back to a sequential loop.
+            mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
+            # Pad the view batch up to a multiple of the mesh by
+            # repeating the last camera; drop the tail after gathering.
+            pad = (-n_views) % n_dev
+            cams = jax.tree.map(lambda x: x[:n_views], cameras)
+            if pad:
+                cams = jax.tree.map(
+                    lambda x: jnp.concatenate(
+                        [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0
+                    ),
+                    cams,
                 )
-                renders = np.asarray(out["render"])[:n_views]
-                for v in range(n_views):
-                    save_image(os.path.join(out_dir, f"{v:05d}.png"),
-                               renders[v])
-                return renders
-            renders = []
+            out = view_parallel_render(
+                mesh, replicate(mesh, st.scene),
+                shard_batch(mesh, cams),
+                backend=self.cfg.render_backend, keys=("render",),
+            )
+            renders = np.asarray(out["render"])[:n_views]
             for v in range(n_views):
-                cam = jax.tree.map(lambda x: x[v], st.cameras)
-                out = render(cam, st.scene, config=RenderConfig(),
-                             backend=self.cfg.render_backend)
-                img = np.asarray(out["render"])
-                renders.append(img)
-                save_image(os.path.join(out_dir, f"{v:05d}.png"), img)
+                save_image(os.path.join(out_dir, f"{v:05d}.png"), renders[v])
+            return renders
+        renders = []
+        for v in range(n_views):
+            cam = jax.tree.map(lambda x: x[v], cameras)
+            out = render(cam, st.scene, config=RenderConfig(),
+                         backend=self.cfg.render_backend)
+            img = np.asarray(out["render"])
+            renders.append(img)
+            save_image(os.path.join(out_dir, f"{v:05d}.png"), img)
         return np.stack(renders)
+
+    def render_all(self, iteration: Optional[int] = None,
+                   include_test: bool = True):
+        """Render the train views — and the held-out test views when a split
+        is loaded — into `{split}/ours_{it}/renders` (P14,
+        render_multires.py --render_all_img renders both sets)."""
+        st = self.state
+        it = iteration or self.cfg.train_iterations
+        with self._timed("render_all"):
+            renders = self._render_camera_batch(
+                st.cameras, st.input_view_num,
+                self.store.renders_dir("train", it),
+            )
+            if include_test and st.test_cameras is not None:
+                n_test = jax.tree.leaves(st.test_cameras)[0].shape[0]
+                self._render_camera_batch(
+                    st.test_cameras, n_test,
+                    self.store.renders_dir("test", it),
+                )
+        return renders
 
     def extract_mesh(self):
         """Adaptive tetra mesh (P15) or grid TSDF (P14 multires path)."""
         from g4splat_tpu.pipeline.mesh_extraction import (
             MeshExtractionConfig,
             extract_mesh_adaptive_tsdf,
-            extract_mesh_grid_tsdf,
+            extract_mesh_multires_tsdf,
         )
 
         st = self.state
         cfg = self.cfg
         with self._timed("extract_mesh"):
             if cfg.use_multires_tsdf:
-                mesh = extract_mesh_grid_tsdf(
-                    st.scene, st.cameras, resolution=cfg.tsdf_resolution,
+                # 3-factor depth_trunc sweep + redundant near-field face
+                # removal (render_multires.py:97-206).
+                mesh = extract_mesh_multires_tsdf(
+                    st.scene, st.cameras, factors=cfg.multires_factors,
+                    resolution=cfg.tsdf_resolution,
                     backend=cfg.render_backend,
                 )
             else:
@@ -844,18 +1230,42 @@ class G4SplatPipeline:
             return mesh
 
     def evaluate(self, gt_images: Optional[np.ndarray] = None,
-                 gt_mesh=None, iteration: Optional[int] = None):
-        """Eval (P17): PSNR/SSIM(/LPIPS) + mesh metrics → result txt/json."""
-        from g4splat_tpu.eval.image_metrics import evaluate_images
+                 gt_mesh=None, iteration: Optional[int] = None,
+                 lpips_model=None):
+        """Eval (P17): PSNR/SSIM/LPIPS + mesh metrics → result txt/json.
+
+        Image metrics follow the reference (eval/eval.py:67-104): evaluated
+        on the HELD-OUT test split when one is loaded (`Average-*` keys +
+        `test_views_num`, the reference schema), else on the train views
+        against ``gt_images``. LPIPS is always reported; without converted
+        VGG weights (a deployment artifact) the head is random-init —
+        architecturally the same metric, numerically uncalibrated.
+        """
+        from g4splat_tpu.eval.image_metrics import LPIPS, evaluate_images
         from g4splat_tpu.eval.mesh_metrics import evaluate_mesh
 
+        st = self.state
         it = iteration or self.cfg.train_iterations
         results = {}
         with self._timed("evaluate"):
+            lp = lpips_model if lpips_model is not None else LPIPS()
+            if st.test_images is not None and st.test_cameras is not None:
+                n_test = len(st.test_images)
+                test_renders = self._render_camera_batch(
+                    st.test_cameras, n_test,
+                    self.store.renders_dir("test", it),
+                )
+                m = evaluate_images(test_renders, st.test_images,
+                                    lpips_model=lp)
+                results["test_views_num"] = n_test
+                results["Average-PSNR"] = round(m["PSNR"], 5)
+                results["Average-SSIM"] = round(m["SSIM"], 5)
+                results["Average-LPIPS"] = round(m["LPIPS"], 5)
             if gt_images is not None:
-                renders = self.render_all(it)
+                renders = self.render_all(it, include_test=False)
                 n = min(len(renders), len(gt_images))
-                results.update(evaluate_images(renders[:n], gt_images[:n]))
+                results.update(evaluate_images(renders[:n], gt_images[:n],
+                                               lpips_model=lp))
             if gt_mesh is not None:
                 mesh = self.extract_mesh()
                 results.update(
@@ -874,10 +1284,13 @@ class G4SplatPipeline:
     # ------------------------------------------------------------------ run
     def run(self, images: np.ndarray, cameras: Optional[Camera] = None,
             gt_images: Optional[np.ndarray] = None, gt_mesh=None,
-            dense_cameras: Optional[Camera] = None):
+            dense_cameras: Optional[Camera] = None,
+            test_images: Optional[np.ndarray] = None,
+            test_cameras: Optional[Camera] = None):
         """Full pipeline (train.py:272-368 sequencing)."""
         t0 = time.time()
-        self.load_inputs(images, cameras)
+        self.load_inputs(images, cameras,
+                         test_images=test_images, test_cameras=test_cameras)
         self.run_sfm()
         self.align_charts()
         self.render_chart_views()
@@ -895,7 +1308,9 @@ class G4SplatPipeline:
         if not self.cfg.use_dense_view:
             for stage in range(1, self.cfg.n_see3d_stages + 1):
                 self.see3d_stage(stage)
-                self.refine_plane_depths()
+                # Stage 3 uses the anchor-restricted color-harmonization
+                # variant (train.py:342-343).
+                self.refine_plane_depths(use_anchor_colors=(stage == 3))
                 # Snapshot (train.py:329-345 mv point_cloud → point_cloud-*).
                 pcd = os.path.join(self.store.gaussians, "point_cloud")
                 if os.path.exists(pcd):

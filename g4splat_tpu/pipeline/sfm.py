@@ -691,3 +691,73 @@ def relative_pose_from_pair(out11, out22, out12, conf_thresh: float = 1.5):
     T[:3, :3] = R
     T[:3, 3] = t
     return T
+
+
+# -------------------------------------------------- posed-mode rectification
+def rectify_to_center_pp(images: np.ndarray, cameras):
+    """Resample calibrated images so the principal point is centered and
+    fx == fy, keeping the original (H, W) (run_mast3r.py:441-600).
+
+    The reference crops each image symmetrically around the principal point
+    (tar_pp = min(pp, size - pp)), averages the focals, and remaps with
+    cv2.initUndistortRectifyMap (zero distortion). Here the symmetric crop is
+    additionally trimmed to the original aspect ratio so one bilinear remap
+    lands directly on (H, W) with a single shared focal — same pp=center /
+    fx=fy contract, no second resize.
+
+    Returns (images', cameras') where cameras' have cx=(W-1)/2, cy=(H-1)/2,
+    fx=fy. Views already in that form pass through untouched.
+    """
+    from g4splat_tpu.core.cameras import make_camera, stack_cameras
+
+    images = np.asarray(images, np.float32)
+    V, H, W = images.shape[:3]
+    out_imgs = np.empty_like(images)
+    out_cams = []
+    vt, ut = np.mgrid[:H, :W].astype(np.float32)
+    for v in range(V):
+        fx = float(cameras.fx[v])
+        fy = float(cameras.fy[v])
+        cx = float(cameras.cx[v])
+        cy = float(cameras.cy[v])
+        centered = (abs(cx - (W - 1) / 2) < 1e-3
+                    and abs(cy - (H - 1) / 2) < 1e-3 and abs(fx - fy) < 1e-6)
+        if centered:
+            out_imgs[v] = images[v]
+            out_cams.append(make_camera(
+                jnp.asarray(cameras.w2c[v]), fx, fy, cx, cy, W, H))
+            continue
+        # Symmetric half-extents around the pp, trimmed to the W:H aspect.
+        hx = min(cx, W - 1 - cx)
+        hy = min(cy, H - 1 - cy)
+        if hx / max(hy, 1e-6) > W / H:
+            hx = hy * W / H
+        else:
+            hy = hx * H / W
+        f = 0.5 * (fx + fy)
+        f_t = f * (W - 1) / (2.0 * hx)      # == f * (H-1) / (2*hy)
+        # Target pixel (u,v) → ray via K_t⁻¹ → source pixel via K_s.
+        x = (ut - (W - 1) / 2) / f_t
+        y = (vt - (H - 1) / 2) / f_t
+        su = fx * x + cx
+        sv = fy * y + cy
+        out_imgs[v] = _bilinear_remap(images[v], su, sv)
+        out_cams.append(make_camera(
+            jnp.asarray(cameras.w2c[v]), f_t, f_t,
+            (W - 1) / 2, (H - 1) / 2, W, H))
+    return out_imgs, stack_cameras(out_cams)
+
+
+def _bilinear_remap(img: np.ndarray, su: np.ndarray, sv: np.ndarray):
+    """Sample img at float source coords (cv2.remap INTER_LINEAR, border
+    clamp)."""
+    H, W = img.shape[:2]
+    u0 = np.clip(np.floor(su).astype(np.int64), 0, W - 1)
+    v0 = np.clip(np.floor(sv).astype(np.int64), 0, H - 1)
+    u1 = np.minimum(u0 + 1, W - 1)
+    v1 = np.minimum(v0 + 1, H - 1)
+    au = np.clip(su - u0, 0.0, 1.0)[..., None]
+    av = np.clip(sv - v0, 0.0, 1.0)[..., None]
+    top = img[v0, u0] * (1 - au) + img[v0, u1] * au
+    bot = img[v1, u0] * (1 - au) + img[v1, u1] * au
+    return top * (1 - av) + bot * av

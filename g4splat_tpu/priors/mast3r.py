@@ -200,6 +200,16 @@ class MASt3RModel:
     def infer_pair(self, img1, img2):
         return self._apply(self.params, img1, img2)
 
+    def encode_image(self, img):
+        """Encoder-only tokens (1, N, C) — the retrieval features
+        (mast3r/retrieval/processor.py uses the trunk features)."""
+        if not hasattr(self, "_encode"):
+            self._encode = jax.jit(
+                lambda p, x: self.net.apply(p, x,
+                                            method=AsymmetricMASt3R.encode))
+        out = self._encode(self.params, img)
+        return out[0] if isinstance(out, tuple) else out
+
     def symmetric_inference(self, img1, img2):
         """Run both orderings (sparse_ga.py:629-650): returns 4 head dicts
         (X11, X21 in frame 1; X22, X12 in frame 2)."""

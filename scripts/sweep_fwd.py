@@ -101,5 +101,52 @@ def main():
         timeit(f"full forward need_aux={aux}", full_fn, scene)
 
 
+def sort_variants():
+    """Binning-sort alternatives on synthetic (numpy-built) key arrays: the
+    real candidate array is P·cap = 3.2M packed int32 keys + int32 payload,
+    ~25% non-sentinel."""
+    P, cap = 200_000, 16
+    n = P * cap
+    rng = np.random.RandomState(0)
+    valid = rng.rand(n) < 0.25
+    raw = rng.randint(0, (1 << 31) - 2, size=n, dtype=np.int64)
+    SENT32 = np.int32(np.iinfo(np.int32).max)
+    k32 = np.where(valid, raw.astype(np.int32), SENT32)
+    gid = np.tile(np.arange(P, dtype=np.int32)[:, None], (1, cap)).reshape(-1)
+
+    k32j = jnp.asarray(k32)
+    gidj = jnp.asarray(gid)
+
+    timeit("sort (i32 key, i32 gid) pair",
+           jax.jit(lambda k, g: jax.lax.sort((k, g), num_keys=1)),
+           k32j, gidj)
+
+    # Fused single-operand i64: key<<18 | gid (gid < 2^18 at P=200k).
+    def fused64(k, g):
+        k64 = (k.astype(jnp.int64) << 18) | g.astype(jnp.int64)
+        s = jax.lax.sort(k64)
+        return (s >> 18).astype(jnp.int32), (s & ((1 << 18) - 1)).astype(jnp.int32)
+
+    timeit("sort fused i64 single-op", jax.jit(fused64), k32j, gidj)
+
+    timeit("sort i32 key only (floor)",
+           jax.jit(lambda k: jax.lax.sort(k)), k32j)
+
+    half = n // 2
+    timeit("sort pair, half size (cap=8)",
+           jax.jit(lambda k, g: jax.lax.sort((k, g), num_keys=1)),
+           k32j[:half], gidj[:half])
+
+    # Sanity: fused result must equal the pair sort.
+    ks, gs = jax.jit(lambda k, g: jax.lax.sort((k, g), num_keys=1))(k32j, gidj)
+    kf, gf_ = jax.jit(fused64)(k32j, gidj)
+    print("fused == pair:",
+          bool(jnp.all(ks[:100000] == kf[:100000])),
+          bool(jnp.all(gs[:100000] == gf_[:100000])))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "sort":
+        sort_variants()
+    else:
+        main()

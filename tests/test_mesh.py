@@ -144,6 +144,47 @@ class TestEndToEnd:
         assert np.median(radii) == pytest.approx(0.5, abs=0.1)
         assert mesh.vertex_colors is not None
 
+    def test_multires_tsdf_sphere(self):
+        from g4splat_tpu.pipeline.mesh_extraction import (
+            extract_mesh_multires_tsdf,
+        )
+
+        scene = sphere_scene()
+        cams = []
+        for i in range(6):
+            a = i * np.pi / 3
+            cams.append(
+                lookat_camera([2.5 * np.cos(a), 0.3, 2.5 * np.sin(a)],
+                              [0, 0, 0], [0, -1, 0], fx=48.0, fy=48.0,
+                              width=48, height=48)
+            )
+        cameras = stack_cameras(cams)
+        mesh = extract_mesh_multires_tsdf(
+            scene, cameras, factors=(2.0, 8.0, 16.0), resolution=32,
+            backend="tiled", point_chunk=65536,
+        )
+        assert len(mesh.faces) > 200
+        radii = np.linalg.norm(mesh.vertices[mesh.faces].reshape(-1, 3),
+                               axis=-1)
+        # Whole sphere visible within the finest depth_trunc → the coarser
+        # levels' redundant near-field faces must be dropped: the merged
+        # surface still sits at the sphere radius, not duplicated shells.
+        assert np.median(radii) == pytest.approx(0.5, abs=0.12)
+        assert mesh.vertex_colors is not None
+
+    def test_multires_merge_drops_covered_faces(self):
+        from g4splat_tpu.pipeline.mesh_extraction import _verts_covered
+
+        cams = [lookat_camera([0, 0, -2], [0, 0, 0], [0, -1, 0],
+                              fx=20.0, fy=20.0, width=16, height=16)]
+        cameras = stack_cameras(cams)
+        verts = np.array([[0, 0, 0],      # in frustum, depth 2 < trunc 3
+                          [0, 0, 50.0],   # in frustum, beyond trunc
+                          [0, 10.0, 0]],  # out of frustum
+                         np.float32)
+        cov = _verts_covered(cameras, verts, depth_trunc=3.0)
+        np.testing.assert_array_equal(cov, [True, False, False])
+
     def test_adaptive_tsdf_sphere(self):
         from g4splat_tpu.pipeline.mesh_extraction import (
             MeshExtractionConfig,

@@ -284,6 +284,29 @@ class TestGradients:
         assert float(jnp.abs(g).max()) > 0
 
 
+class TestDebugDump:
+    def test_nonfinite_inputs_dumped(self, tmp_path, monkeypatch):
+        # Reference dump-on-error plumbing
+        # (diff_surfel_rasterization/__init__.py:83-90).
+        import g4splat_tpu.ops.rasterize as R
+
+        monkeypatch.setattr(R, "_DEBUG_DUMP", str(tmp_path))
+        scene = make_scene([[0, 0, np.nan]], [[1, 0, 0]], [0.2])
+        out = R.render(simple_camera(), scene, backend="tiled")
+        assert (tmp_path / "snapshot_fw.npz").exists()
+        snap = np.load(tmp_path / "snapshot_fw.npz")
+        assert len(snap["bad_outputs"]) > 0
+        assert np.isnan(snap["xyz"]).any()
+
+    def test_finite_render_no_dump(self, tmp_path, monkeypatch):
+        import g4splat_tpu.ops.rasterize as R
+
+        monkeypatch.setattr(R, "_DEBUG_DUMP", str(tmp_path))
+        scene = make_scene([[0, 0, 3.0]], [[1, 0, 0]], [0.2])
+        R.render(simple_camera(), scene, backend="tiled")
+        assert not (tmp_path / "snapshot_fw.npz").exists()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
 

@@ -315,5 +315,56 @@ class TestDust3rFallback:
         assert err_out < 0.5 * err_bad, (err_bad, err_out)
 
 
+class TestRectification:
+    def _pattern(self, H, W):
+        vv, uu = np.mgrid[:H, :W].astype(np.float32)
+        img = np.stack([np.sin(uu * 0.7), np.cos(vv * 0.5),
+                        np.sin((uu + vv) * 0.3)], -1)
+        return (img * 0.5 + 0.5).astype(np.float32)
+
+    def test_centered_views_pass_through(self):
+        from g4splat_tpu.core.cameras import make_camera, stack_cameras
+        from g4splat_tpu.pipeline.sfm import rectify_to_center_pp
+
+        H, W = 32, 48
+        cam = make_camera(jnp.eye(4), 40.0, 40.0, (W - 1) / 2, (H - 1) / 2,
+                          W, H)
+        imgs = self._pattern(H, W)[None]
+        out_imgs, out_cams = rectify_to_center_pp(imgs, stack_cameras([cam]))
+        np.testing.assert_array_equal(out_imgs, imgs)
+        assert float(out_cams.fx[0]) == 40.0
+
+    def test_off_center_pp_rectified(self):
+        """Off-center pp / fx≠fy views are resampled so the SAME world ray
+        lands at the analytically remapped pixel (run_mast3r.py:441-600)."""
+        from g4splat_tpu.core.cameras import make_camera, stack_cameras
+        from g4splat_tpu.pipeline.sfm import rectify_to_center_pp
+
+        H, W = 32, 48
+        fx, fy, cx, cy = 44.0, 38.0, 20.0, 18.0
+        cam = make_camera(jnp.eye(4), fx, fy, cx, cy, W, H)
+        img = self._pattern(H, W)
+        out_imgs, out_cams = rectify_to_center_pp(img[None],
+                                                  stack_cameras([cam]))
+        # Contract: pp centered, fx == fy, shape preserved.
+        assert out_imgs.shape == (1, H, W, 3)
+        assert float(out_cams.cx[0]) == (W - 1) / 2
+        assert float(out_cams.cy[0]) == (H - 1) / 2
+        assert float(out_cams.fx[0]) == float(out_cams.fy[0])
+        # Geometric consistency: world point → old pixel color == new pixel
+        # color (away from borders where clamping kicks in).
+        f_t = float(out_cams.fx[0])
+        for (x, y) in [(0.05, 0.02), (-0.08, 0.06), (0.0, -0.1)]:
+            p = np.array([x, y, 1.0])
+            u_old, v_old = fx * x + cx, fy * y + cy
+            u_new = f_t * x + (W - 1) / 2
+            v_new = f_t * y + (H - 1) / 2
+            iu, iv = int(round(u_old)), int(round(v_old))
+            ju, jv = int(round(u_new)), int(round(v_new))
+            # Bilinear resampling: compare within a small tolerance.
+            assert np.abs(out_imgs[0, jv, ju] - img[iv, iu]).max() < 0.25, \
+                (x, y)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
