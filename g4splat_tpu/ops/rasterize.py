@@ -71,7 +71,8 @@ def render(
         from g4splat_tpu.ops.rasterize_tiled import render_tiled
 
         color, alpha, normal_cam, depth_acc, median_depth, distortion, final_T, n_contrib = (
-            render_tiled(camera, prep, bg, near=config.near, far=config.far)
+            render_tiled(camera, prep, bg, near=config.near, far=config.far,
+                         tile_k=config.tile_k)
         )
     elif backend == "pallas":
         from g4splat_tpu.ops.rasterize_pallas import render_pallas

@@ -53,6 +53,10 @@ class RenderConfig:
     depth_ratio: float = struct.field(pytree_node=False, default=0.0)
     near: float = struct.field(pytree_node=False, default=NEAR_N)
     far: float = struct.field(pytree_node=False, default=FAR_N)
+    # Tiled-backend static depth cap (front-most kept). The pallas kernel
+    # has no such cap; raise this when using `tiled` as a parity oracle on
+    # scenes whose densest tile exceeds it.
+    tile_k: int = struct.field(pytree_node=False, default=1024)
 
 
 @struct.dataclass

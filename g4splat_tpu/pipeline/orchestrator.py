@@ -1281,6 +1281,136 @@ class G4SplatPipeline:
                 f.write(f"{k}: {v}\n")
         return results
 
+    # -------------------------------------------------------------- re-entry
+    def stage_done(self) -> Dict[str, bool]:
+        """Artifact-based completion markers — the counterpart of the
+        reference's file idempotence (rerunning a stage script recomputes
+        from upstream files, SURVEY §5.3)."""
+        pr = self.store.plane_root
+        it = self.cfg.train_iterations
+        done = {
+            "sfm": os.path.exists(
+                os.path.join(self.store.sparse, "cameras.bin")),
+            "charts": os.path.exists(self.store.charts),
+            "chart_views": os.path.exists(
+                os.path.join(pr, "visibility_frame000000.npy")),
+            "planes": os.path.exists(
+                os.path.join(pr, "global_3Dplane_ID_dict.json")),
+            "refine": os.path.exists(
+                os.path.join(pr, "refine_depth_frame000000.tiff")),
+            "train": os.path.exists(
+                os.path.join(self.store.point_cloud_dir(it),
+                             "point_cloud.ply")),
+        }
+        for k in range(1, self.cfg.n_see3d_stages + 1):
+            done[f"see3d_{k}"] = os.path.exists(os.path.join(
+                self.store.see3d_root, f"stage{k}_see3d_cameras.npz"))
+        return done
+
+    def resume_from_artifacts(self) -> Dict[str, bool]:
+        """Rebuild PipelineState from the on-disk artifact store so `run`
+        can re-enter after an interruption. Loads exactly as far as the
+        artifacts go and returns the stage_done map."""
+        from g4splat_tpu.core.cameras import make_camera
+        from g4splat_tpu.core.geometry import depth_to_normal
+        from g4splat_tpu.io.images import (
+            load_depth_tiff,
+            load_image,
+            load_mask_png,
+        )
+        from g4splat_tpu.train.losses import normal_to_curvature
+
+        st = self.state
+        pr = self.store.plane_root
+        done = self.stage_done()
+        if not done["sfm"]:
+            return done
+
+        cams_meta, imgs_meta, _ = colmap_io.read_model(self.store.sparse)
+        fw = colmap_io.to_framework_cameras(cams_meta, imgs_meta)
+        cam_list = [c for _, c in fw]
+        st.input_view_num = len(cam_list)
+
+        # Novel (See3D) cameras from the cumulative archive.
+        cum_path = os.path.join(self.store.see3d_root, "see3d_cameras.npz")
+        if os.path.exists(cum_path):
+            cum = dict(np.load(cum_path))
+            for i in range(int(cum["n_views"])):
+                Wn = int(cum[f"image_width_{i:06d}"])
+                Hn = int(cum[f"image_height_{i:06d}"])
+                fx = Wn / (2.0 * math.tan(float(cum[f"FoVx_{i:06d}"]) / 2))
+                fy = Hn / (2.0 * math.tan(float(cum[f"FoVy_{i:06d}"]) / 2))
+                w2c = np.eye(4, dtype=np.float32)
+                w2c[:3, :3] = np.asarray(cum[f"R_{i:06d}"]).T
+                w2c[:3, 3] = np.asarray(cum[f"T_{i:06d}"])
+                cam_list.append(make_camera(
+                    jnp.asarray(w2c), fx, fy,
+                    (Wn - 1) / 2, (Hn - 1) / 2, Wn, Hn))
+        st.cameras = stack_cameras(cam_list)
+        V = len(cam_list)
+
+        def per_view(fmt, loader):
+            paths = [os.path.join(pr, fmt.format(v)) for v in range(V)]
+            if all(os.path.exists(p) for p in paths):
+                return np.stack([loader(p) for p in paths])
+            return None
+
+        st.images = per_view("rgb_frame{:06d}.png", load_image)
+        refined = per_view("refine_depth_frame{:06d}.tiff", load_depth_tiff)
+        st.depths = (refined if refined is not None else
+                     per_view("depth_frame{:06d}.tiff", load_depth_tiff))
+        mono = per_view("mono_depth_frame{:06d}.tiff", load_depth_tiff)
+        st.prior_depths = mono if mono is not None else (
+            st.depths.copy() if st.depths is not None else None)
+        st.normals = per_view("mono_normal_world_frame{:06d}.npy", np.load)
+        if st.normals is not None:
+            st.curvs = np.stack([
+                np.asarray(normal_to_curvature(jnp.asarray(n)))
+                for n in st.normals
+            ])
+        conf = per_view("confident_map_frame{:06d}.png",
+                        lambda p: load_mask_png(p).astype(np.float32))
+        if conf is not None:
+            st.confidences = conf
+        elif st.depths is not None:
+            st.confidences = np.ones_like(st.depths)
+        masks = per_view("plane_mask_frame{:06d}.npy", np.load)
+        if masks is not None:
+            st.plane_masks = list(masks)
+            gp = os.path.join(pr, "global_3Dplane_ID_dict.json")
+            if os.path.exists(gp):
+                with open(gp) as f:
+                    st.global_plane_dict = {
+                        int(k): [tuple(x) for x in v]
+                        for k, v in json.load(f).items()
+                    }
+        w0 = 0.01 if self.cfg.downweight_input_view_color_loss else 1.0
+        st.color_weights = np.concatenate([
+            np.full(st.input_view_num, w0, np.float32),
+            np.full(V - st.input_view_num, 0.01, np.float32),
+        ])
+        aj = os.path.join(pr, "anchor_view_id.json")
+        if os.path.exists(aj):
+            with open(aj) as f:
+                st.anchor_view_ids = [int(i) for i in json.load(f)]
+        if st.depths is not None:
+            self.render_chart_views_light()
+
+        # Latest trained model (current dir preferred over -ori/-s1/-s2
+        # snapshots).
+        pcd = os.path.join(self.store.gaussians, "point_cloud")
+        ply = os.path.join(pcd, f"iteration_{self.cfg.train_iterations}",
+                           "point_cloud.ply")
+        if os.path.exists(ply):
+            from g4splat_tpu.io.ply import load_gaussian_ply
+
+            st.scene = load_gaussian_ply(ply)
+        if os.path.exists(self.store.charts):
+            data = np.load(self.store.charts)
+            if "scale_factor" in data:
+                st.scale_factor = float(data["scale_factor"])
+        return done
+
     # ------------------------------------------------------------------ run
     def run(self, images: np.ndarray, cameras: Optional[Camera] = None,
             gt_images: Optional[np.ndarray] = None, gt_mesh=None,

@@ -324,6 +324,47 @@ class TestPipelineIntegration:
         assert tr == [1] and te == [0]
         assert load_view_split(str(tmp_path), 9) is None
 
+    def test_resume_from_artifacts(self, tmp_path):
+        """Stage re-entry (SURVEY §5.3): a fresh pipeline object rebuilds
+        its state from the artifact store and reports which stages are
+        complete — the counterpart of rerunning a reference stage script
+        against upstream files."""
+        cameras, images, depths = synthetic_room()
+        cfg = PipelineConfig(
+            output_path=str(tmp_path), render_backend="tiled",
+            sfm_config="posed", train_iterations=20,
+        )
+        pipe = G4SplatPipeline(cfg, Priors())
+        pipe.load_inputs(images, cameras)
+        pipe.run_sfm()           # posed bootstrap (no MASt3R needed)
+        pipe.state.depths = depths.copy()
+        pipe.state.prior_depths = depths.copy()
+        pipe.render_chart_views()
+        pipe.excavate_planes()
+        pipe.refine_plane_depths()
+        pipe.train_gaussians()
+
+        fresh = G4SplatPipeline(cfg, Priors())
+        done = fresh.resume_from_artifacts()
+        assert done["sfm"] and done["chart_views"] and done["planes"]
+        assert done["refine"] and done["train"]
+        assert not done["see3d_1"]
+        st = fresh.state
+        assert st.input_view_num == 3
+        np.testing.assert_allclose(st.images, pipe.state.images, atol=1/255)
+        np.testing.assert_allclose(st.depths, pipe.state.depths, rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(st.cameras.w2c), np.asarray(pipe.state.cameras.w2c),
+            atol=1e-5)
+        assert len(st.plane_masks) == 3
+        assert st.scene is not None
+        assert int(st.scene.num_alive) == int(pipe.state.scene.num_alive)
+        # The resumed state is actionable: render a view from it.
+        from g4splat_tpu.ops.rasterize import render as _render
+        cam0 = jax.tree.map(lambda x: x[0], st.cameras)
+        out = _render(cam0, st.scene, backend="tiled")
+        assert np.isfinite(np.asarray(out["render"])).all()
+
     def test_mesh_filter(self):
         from g4splat_tpu.pipeline.mesh_extraction import ExtractedMesh
 

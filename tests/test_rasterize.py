@@ -284,6 +284,37 @@ class TestGradients:
         assert float(jnp.abs(g).max()) > 0
 
 
+class TestDeepOverlap:
+    def test_tiled_matches_dense_when_cap_covers_tile(self):
+        """The tiled backend keeps only the front-most tile_k entries per
+        tile; on scenes whose densest tile exceeds the cap its output is
+        WRONG (found via the on-chip deep-overlap gate). With the cap raised
+        it must match the dense oracle."""
+        rng = np.random.RandomState(3)
+        n = 1500
+        xyz = np.concatenate([
+            rng.uniform(-0.15, 0.15, (n, 2)),
+            rng.uniform(-0.3, 0.3, (n, 1)) + 3.0,
+        ], axis=1).astype(np.float32)
+        scene = make_scene(
+            xyz, rng.rand(n, 3), np.exp(rng.uniform(-3.5, -2.5, n)),
+            opacity=0.7,
+        )
+        cam = simple_camera(w=48, h=32, f=90.0)
+        ref = render(cam, scene, backend="dense")
+        capped = render(cam, scene, config=RenderConfig(tile_k=256),
+                        backend="tiled")
+        raised = render(cam, scene, config=RenderConfig(tile_k=4096),
+                        backend="tiled")
+        # The capped run must actually be distinguishable (deep tile), and
+        # the raised cap must restore oracle agreement.
+        assert float(jnp.abs(capped["rend_alpha"] - ref["rend_alpha"]).max()) > 1e-3
+        np.testing.assert_allclose(np.asarray(raised["render"]),
+                                   np.asarray(ref["render"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(raised["rend_alpha"]),
+                                   np.asarray(ref["rend_alpha"]), atol=2e-4)
+
+
 class TestDebugDump:
     def test_nonfinite_inputs_dumped(self, tmp_path, monkeypatch):
         # Reference dump-on-error plumbing
