@@ -67,17 +67,21 @@ def render(
         distortion = out.distortion.reshape(H, W)
         final_T = out.final_T.reshape(H, W)
         n_contrib = out.n_contrib.reshape(H, W)
+        m1_tot = out.m1_tot.reshape(H, W)
+        m2_tot = out.m2_tot.reshape(H, W)
     elif backend == "tiled":
         from g4splat_tpu.ops.rasterize_tiled import render_tiled
 
-        color, alpha, normal_cam, depth_acc, median_depth, distortion, final_T, n_contrib = (
+        (color, alpha, normal_cam, depth_acc, median_depth, distortion,
+         final_T, n_contrib, m1_tot, m2_tot) = (
             render_tiled(camera, prep, bg, near=config.near, far=config.far,
                          tile_k=config.tile_k)
         )
     elif backend == "pallas":
         from g4splat_tpu.ops.rasterize_pallas import render_pallas
 
-        color, alpha, normal_cam, depth_acc, median_depth, distortion, final_T, n_contrib = (
+        (color, alpha, normal_cam, depth_acc, median_depth, distortion,
+         final_T, n_contrib, m1_tot, m2_tot) = (
             render_pallas(camera, prep, bg, near=config.near, far=config.far,
                           need_aux=need_aux)
         )
@@ -113,6 +117,11 @@ def render(
         "surf_normal_cam": surf_normal_cam,
         "final_T": final_T,
         "n_contrib": n_contrib,
+        # Distortion moment totals Σw·m / Σw·m² — consumed by the depth-slab
+        # composition of splat-sharded rendering (parallel/gaussian_shard.py);
+        # stop-gradient outputs.
+        "dist_m1": m1_tot,
+        "dist_m2": m2_tot,
     }
     if _DEBUG_DUMP:
         _dump_if_nonfinite(out, camera, scene, backend)

@@ -38,6 +38,9 @@ class CompositeOut(NamedTuple):
     final_T: jnp.ndarray      # (npix,)
     n_contrib: jnp.ndarray    # (npix,) int32 — 1-based index of last contributor
     weight_sum_per_splat: jnp.ndarray  # (K,) Σ_pix w — handy for stats
+    m1_tot: jnp.ndarray       # (npix,) Σ w·m  — distortion moment totals
+    m2_tot: jnp.ndarray       # (npix,) Σ w·m² (needed to compose depth-slab
+                              # renders across a sharded splat buffer)
 
 
 def composite(
@@ -97,6 +100,8 @@ def composite(
         final_T=final_T,
         n_contrib=last.astype(jnp.int32),
         weight_sum_per_splat=jnp.sum(w, axis=1),
+        m1_tot=jnp.sum(mw, axis=0),
+        m2_tot=jnp.sum(m2w, axis=0),
     )
 
 

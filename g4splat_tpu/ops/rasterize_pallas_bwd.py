@@ -215,34 +215,58 @@ def _bwd_kernel(
     dcomb_hbm,
     # scratch
     comb_vmem, dcomb_vmem, old_d, state_ref, copy_sem, wr_sem, rmw_sem,
-    *, near: float, far: float,
+    *, near: float, far: float, group: int = 1,
 ):
     del dinit_hbm
-    t = pl.program_id(0)
-    start = tile_start_ref[t]
-    count = tile_count_ref[t]
-    tile_x0 = tile_xy_ref[2 * t]
-    tile_y0 = tile_xy_ref[2 * t + 1]
+    # `group` tiles per grid step (same rationale as the forward kernel: the
+    # per-step fixed cost measured ~5 µs/tile). Each sub-tile fully drains
+    # its read/write/RMW DMAs before the next starts, so the sequential
+    # invariants the RMW prefetch relies on are preserved.
+    gidx = pl.program_id(0)
 
     lin = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
-    px = (tile_x0 + lin % TILE).astype(jnp.float32)
-    py = (tile_y0 + lin // TILE).astype(jnp.float32)
-    pxh = jnp.concatenate([px, py, jnp.ones_like(px)], axis=1).T  # (3, NPIX)
-
     rowe = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     cole = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     ge_incl = (rowe >= cole).astype(jnp.float32)    # X @ ge → suffix incl (j≥k)
     lt_bf16 = (rowe > cole).astype(jnp.bfloat16)    # X @ lt → suffix (j>k)
     eidx = jax.lax.broadcasted_iota(jnp.int32, (NPIX, CHUNK), 1)
 
-    cot = cot_ref[0]                           # (NPIX, 16)
+    for j in range(group):
+        _bwd_one_tile(
+            gidx * group + j, j,
+            tile_start_ref, tile_count_ref, tile_xy_ref,
+            comb_hbm, cot_ref, aux_ref, bg_ref, dcomb_hbm,
+            comb_vmem, dcomb_vmem, old_d, state_ref, copy_sem, wr_sem,
+            rmw_sem, lin, ge_incl, lt_bf16, eidx,
+            near=near, far=far,
+        )
+
+
+def _bwd_one_tile(
+    t, j,
+    tile_start_ref, tile_count_ref, tile_xy_ref,
+    comb_hbm, cot_ref, aux_ref, bg_ref, dcomb_hbm,
+    comb_vmem, dcomb_vmem, old_d, state_ref, copy_sem, wr_sem, rmw_sem,
+    lin, ge_incl, lt_bf16, eidx,
+    *, near: float, far: float,
+):
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    tile_x0 = tile_xy_ref[2 * t]
+    tile_y0 = tile_xy_ref[2 * t + 1]
+
+    px = (tile_x0 + lin % TILE).astype(jnp.float32)
+    py = (tile_y0 + lin // TILE).astype(jnp.float32)
+    pxh = jnp.concatenate([px, py, jnp.ones_like(px)], axis=1).T  # (3, NPIX)
+
+    cot = cot_ref[j]                           # (NPIX, 16)
     gC = cot[:, 0:3]
     gN = cot[:, 3:6]
     gD = cot[:, 6:7]
     gA = cot[:, 7:8]
     gdist = cot[:, 8:9]
     gMed = cot[:, 9:10]
-    aux = aux_ref[0]                           # (NPIX, 4)
+    aux = aux_ref[j]                           # (NPIX, 4)
     T_end = aux[:, 0:1]
     ncont = aux[:, 1:2]                        # 1-based last contributor
     M1_tot = aux[:, 2:3]
@@ -522,19 +546,36 @@ def rasterize_backward_pallas(
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
     n_tiles = gx * gy
-    tx = (jnp.arange(n_tiles, dtype=jnp.int32) % gx) * TILE
-    ty = (jnp.arange(n_tiles, dtype=jnp.int32) // gx) * TILE
+    from g4splat_tpu.ops.rasterize_pallas import RASTER_GROUP
+
+    group = RASTER_GROUP
+    n_pad = ((n_tiles + group - 1) // group) * group
+    tidx = jnp.arange(n_pad, dtype=jnp.int32)
+    tx = (tidx % gx) * TILE
+    ty = (jnp.minimum(tidx, n_tiles - 1) // gx) * TILE
     tile_xy = jnp.stack([tx, ty], axis=1).reshape(-1)
+    pad_t = n_pad - n_tiles
+    if pad_t:
+        tile_start = jnp.concatenate(
+            [tile_start, jnp.zeros(pad_t, tile_start.dtype)])
+        tile_count = jnp.concatenate(
+            [tile_count, jnp.zeros(pad_t, tile_count.dtype)])
+        cotangents = jnp.concatenate(
+            [cotangents, jnp.zeros((pad_t,) + cotangents.shape[1:],
+                                   cotangents.dtype)])
+        aux_tail = jnp.concatenate(
+            [aux_tail, jnp.zeros((pad_t,) + aux_tail.shape[1:],
+                                 aux_tail.dtype)])
     bg_pad = jnp.zeros((1, 8), jnp.float32).at[0, :3].set(bg)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_tiles,),
+        grid=(n_pad // group,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, NPIX, 16), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((group, NPIX, 16), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NPIX, 4), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((group, NPIX, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -554,7 +595,7 @@ def rasterize_backward_pallas(
     from g4splat_tpu.ops.rasterize_pallas import _interpret
 
     dcomb = pl.pallas_call(
-        functools.partial(_bwd_kernel, near=near, far=far),
+        functools.partial(_bwd_kernel, near=near, far=far, group=group),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(comb.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

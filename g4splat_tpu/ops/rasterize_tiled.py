@@ -207,6 +207,8 @@ def _render_tiles(
             out.distortion,
             out.final_T,
             out.n_contrib,
+            out.m1_tot,
+            out.m2_tot,
         )
 
     # Batch tiles through vmap under lax.map to bound memory. Remat the tile
@@ -231,7 +233,8 @@ def _render_tiles(
         )
         return img[:height, :width]
 
-    color, depth_acc, alpha, normal, med, dist, final_T, n_contrib = results
+    (color, depth_acc, alpha, normal, med, dist, final_T, n_contrib,
+     m1_tot, m2_tot) = results
     return (
         assemble(color, 3),
         assemble(alpha),
@@ -241,6 +244,8 @@ def _render_tiles(
         assemble(dist),
         assemble(final_T),
         assemble(n_contrib),
+        assemble(m1_tot),
+        assemble(m2_tot),
     )
 
 

@@ -205,6 +205,95 @@ class TestDataParallel:
         assert all(np.isfinite(h["loss"]) for h in hist), hist
         assert int(tr.scene.num_alive) > 0
 
+    def test_slab_compose_matches_single_render(self):
+        """Gaussian-buffer sharding algebra (SURVEY §5.7): depth-slab
+        partials composed per-pixel must reproduce the single-buffer render
+        exactly (color/alpha/depth/normal/distortion; median via the
+        crossing slab)."""
+        from g4splat_tpu.core.cameras import lookat_camera
+        from g4splat_tpu.models.gaussians import GaussianScene
+        from g4splat_tpu.ops.rasterize import render
+        from g4splat_tpu.ops.rasterize_common import RenderConfig
+        from g4splat_tpu.parallel.gaussian_shard import (
+            compose_slabs,
+            partition_by_view_depth,
+            slab_maps_from_render,
+        )
+
+        rng = np.random.RandomState(7)
+        n = 300
+        scene = GaussianScene.from_points(
+            rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+            rng.rand(n, 3).astype(np.float32),
+            scales=np.exp(rng.uniform(-2.8, -1.8, n)).astype(np.float32),
+            quats=rng.randn(n, 4).astype(np.float32),
+            initial_opacity=0.75,
+        )
+        cam = lookat_camera([0.3, 0.2, -3.0], [0, 0, 0], [0, -1, 0],
+                            fx=40.0, fy=40.0, width=32, height=32)
+        bg = jnp.asarray([0.2, 0.1, 0.3])
+        ref = render(cam, scene, config=RenderConfig(bg=bg), backend="tiled")
+
+        slabs = partition_by_view_depth(scene, cam, 4)
+        maps = jnp.stack([
+            slab_maps_from_render(render(
+                cam, s, config=RenderConfig(bg=jnp.zeros(3)),
+                backend="tiled"))
+            for s in slabs
+        ])
+        out = compose_slabs(maps, bg)
+        np.testing.assert_allclose(np.asarray(out["render"]),
+                                   np.asarray(ref["render"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out["rend_alpha"]),
+                                   np.asarray(ref["rend_alpha"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out["rend_normal"]),
+                                   np.asarray(ref["rend_normal"]), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out["rend_depth"]),
+                                   np.asarray(ref["rend_depth"]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out["rend_dist"]),
+                                   np.asarray(ref["rend_dist"]),
+                                   atol=1e-5)
+        # Median: exact where the T=0.5 crossing happens in slab 0 (its
+        # incoming T is exactly 1) and where T never crosses (last
+        # contributor everywhere); only deeper-slab crossings carry the
+        # documented threshold skew.
+        med_err = np.abs(np.asarray(out["depth_median"])
+                         - np.asarray(ref["depth_median"]))
+        slab0_alpha = np.asarray(maps[0, ..., 7])
+        exact_px = (slab0_alpha >= 0.5) | (np.asarray(ref["rend_alpha"]) < 0.5)
+        assert exact_px.mean() > 0.3, "test scene too deep to be meaningful"
+        assert (med_err[exact_px] < 1e-4).all()
+        assert np.mean(med_err < 1e-4) > 0.7, np.mean(med_err < 1e-4)
+
+    def test_render_gaussian_sharded_on_mesh(self):
+        from g4splat_tpu.core.cameras import lookat_camera
+        from g4splat_tpu.models.gaussians import GaussianScene
+        from g4splat_tpu.ops.rasterize import render
+        from g4splat_tpu.ops.rasterize_common import RenderConfig
+        from g4splat_tpu.parallel.gaussian_shard import (
+            partition_by_view_depth,
+            render_gaussian_sharded,
+        )
+
+        rng = np.random.RandomState(9)
+        n = 200
+        scene = GaussianScene.from_points(
+            rng.uniform(-1, 1, (n, 3)).astype(np.float32),
+            rng.rand(n, 3).astype(np.float32),
+            scales=np.full(n, 0.1, np.float32),
+            initial_opacity=0.8,
+        )
+        cam = lookat_camera([0, 0, -3.0], [0, 0, 0], [0, -1, 0],
+                            fx=40.0, fy=40.0, width=32, height=32)
+        mesh = make_mesh(n_data=2, n_model=4)
+        slabs = partition_by_view_depth(scene, cam, 4)
+        out = render_gaussian_sharded(mesh, slabs, cam, backend="tiled")
+        ref = render(cam, scene, config=RenderConfig(), backend="tiled")
+        np.testing.assert_allclose(np.asarray(out["render"]),
+                                   np.asarray(ref["render"]), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out["rend_alpha"]),
+                                   np.asarray(ref["rend_alpha"]), atol=5e-5)
+
     def test_shard_batch_places_across_devices(self):
         mesh = make_mesh(n_data=8)
         x = jnp.arange(16.0).reshape(16, 1)
