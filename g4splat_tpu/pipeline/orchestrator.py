@@ -99,6 +99,9 @@ class PipelineConfig:
     gaussian_capacity: int = 2_000_000
     render_backend: str = "pallas"
     eval_split: Optional[List[int]] = None
+    # None = auto (data-parallel GS training on real multi-chip meshes whose
+    # size divides the view count); True/False force it.
+    data_parallel_training: Optional[bool] = None
 
 
 @dataclass
@@ -723,7 +726,29 @@ class G4SplatPipeline:
                 color_weight=jnp.asarray(st.color_weights),
                 scale_factor=jnp.asarray(10.0),
             )
-            trainer = Trainer(scene, st.cameras, views, tcfg)
+            # Data-parallel training when a multi-device mesh fits the view
+            # count (one view per device per step; grads pmean'd, densify
+            # stats psum'd — trainer.make_dp_train_step). Auto mode engages
+            # only on real accelerator meshes: the virtual CPU test mesh
+            # must not silently change the training batch semantics.
+            mesh = None
+            n_dev = len(jax.devices())
+            V = len(st.images)
+            use_dp = (cfg.data_parallel_training
+                      if cfg.data_parallel_training is not None
+                      else n_dev > 1
+                      and jax.devices()[0].platform.lower() != "cpu")
+            if use_dp and n_dev > 1:
+                n_data = max(
+                    (d for d in range(2, min(n_dev, V) + 1) if V % d == 0),
+                    default=0,
+                )
+                if n_data >= 2:
+                    from g4splat_tpu.parallel.mesh import make_mesh
+
+                    mesh = make_mesh(n_data=n_data,
+                                     devices=jax.devices()[:n_data])
+            trainer = Trainer(scene, st.cameras, views, tcfg, mesh=mesh)
             trainer.train(iters)
             st.scene = trainer.scene
             save_gaussian_ply(

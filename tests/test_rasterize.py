@@ -499,3 +499,47 @@ class TestPallasInterpretParity:
         gp = np.asarray(jax.grad(loss)(scene.xyz, "pallas"))
         rel = np.linalg.norm(gp - gt) / (np.linalg.norm(gt) + 1e-12)
         assert rel < 5e-3, rel
+
+    def test_grouped_grid_edge_cases(self):
+        """Grid-step grouping (RASTER_GROUP tiles per step) under interpret
+        mode on a scene that exercises every sub-tile case at once: a
+        padding tile (15 tiles → 16), fully dead tiles (empty corner), a
+        saturated multi-chunk cluster (early exit + DMA drain), and normal
+        tiles."""
+        cam = simple_camera(w=80, h=48, f=70.0)   # 5x3 = 15 tiles
+        rng = np.random.RandomState(11)
+        # Dense cluster in one tile + sprinkle elsewhere; top-left empty.
+        n1, n2 = 400, 60
+        cluster = np.concatenate([
+            rng.uniform(0.25, 0.45, (n1, 2)),
+            rng.uniform(2.5, 3.5, (n1, 1)),
+        ], axis=1)
+        spread = np.concatenate([
+            rng.uniform(-0.1, 0.9, (n2, 2)),
+            rng.uniform(2.0, 5.0, (n2, 1)),
+        ], axis=1)
+        xyz = np.concatenate([cluster, spread]).astype(np.float32)
+        scene = make_scene(
+            xyz, rng.rand(n1 + n2, 3),
+            np.exp(rng.uniform(-3.2, -2.2, n1 + n2)), opacity=0.8)
+        cfg = RenderConfig(bg=jnp.array([0.3, 0.0, 0.1]), tile_k=2048)
+        tiled = render(cam, scene, config=cfg, backend="tiled")
+        pallas = render(cam, scene, config=cfg, backend="pallas")
+        for k in ["render", "rend_alpha", "rend_dist", "surf_depth",
+                  "final_T", "dist_m1", "dist_m2"]:
+            np.testing.assert_allclose(
+                np.asarray(pallas[k]), np.asarray(tiled[k]), atol=3e-4,
+                err_msg=k,
+            )
+
+        def loss(xyz, backend):
+            out = render(cam, scene.replace(xyz=xyz), config=cfg,
+                         backend=backend)
+            return (jnp.mean(out["render"] ** 2)
+                    + 0.05 * jnp.mean(out["rend_dist"])
+                    + 0.1 * jnp.mean(out["rend_alpha"]))
+
+        gt = np.asarray(jax.grad(loss)(scene.xyz, "tiled"))
+        gp = np.asarray(jax.grad(loss)(scene.xyz, "pallas"))
+        rel = np.linalg.norm(gp - gt) / (np.linalg.norm(gt) + 1e-12)
+        assert rel < 1e-2, rel
