@@ -147,6 +147,92 @@ def view_parallel_render(
     return dict(zip(keys, outs))
 
 
+def tile_parallel_render(
+    mesh: Mesh,
+    scene,
+    camera,
+    backend: str = "pallas",
+    keys: Sequence[str] = ("render", "rend_alpha", "surf_depth"),
+):
+    """Render ONE (megapixel) image with its tile rows sharded over `data`.
+
+    The "long context" axis of this workload (SURVEY §5.7) is image size: a
+    single 4k render's tile grid exceeds one chip's comfortable working set.
+    Each device renders a horizontal strip of tile rows through an exactly
+    equivalent *cropped camera* (cy shifted by the strip's pixel offset,
+    static strip height): preprocess culling is radius-rect-vs-grid, so a
+    splat overlapping a strip from outside is kept by that strip's crop and
+    compositing is bit-identical to the full-frame render. Per-splat work
+    (preprocess + binning sort) is replicated; per-tile work (entry gather +
+    rasterization kernel — the dominant cost at megapixel sizes) scales
+    1/n_data. No collectives; the strips concatenate on the host axis.
+
+    `surf_normal`/`surf_normal_cam` are recomputed globally from the
+    assembled `surf_depth` (depth_to_normal reads neighbor pixels, so the
+    per-strip values would differ along seam rows).
+    """
+    from g4splat_tpu.core.geometry import depth_to_normal
+    from g4splat_tpu.ops.rasterize_common import TILE
+
+    H, W = camera.height, camera.width
+    n_data = mesh.shape["data"]
+    rows = (H + TILE - 1) // TILE
+    rows_per = (rows + n_data - 1) // n_data
+    strip_h = rows_per * TILE
+
+    want_surf = [k for k in keys if k in ("surf_normal", "surf_normal_cam")]
+    strip_keys = tuple(
+        k for k in keys if k not in ("surf_normal", "surf_normal_cam")
+    )
+    if want_surf and "surf_depth" not in strip_keys:
+        strip_keys = strip_keys + ("surf_depth",)
+
+    outs = _tile_parallel_fn(
+        mesh, backend, strip_keys, strip_h, camera.width, camera.height
+    )(scene, camera)
+    result = {
+        k: v.reshape((n_data * strip_h,) + v.shape[2:])[:H]
+        for k, v in zip(strip_keys, outs)
+    }
+    if want_surf:
+        sn_world = depth_to_normal(camera, result["surf_depth"])
+        sn_world = sn_world * (result["rend_alpha"][..., None]
+                               if "rend_alpha" in result else 1.0)
+        if "surf_normal" in want_surf:
+            result["surf_normal"] = sn_world
+        if "surf_normal_cam" in want_surf:
+            result["surf_normal_cam"] = sn_world @ camera.c2w[:3, :3]
+    return {k: result[k] for k in keys}
+
+
+@_functools.lru_cache(maxsize=32)
+def _tile_parallel_fn(mesh: Mesh, backend: str, keys: tuple, strip_h: int,
+                      width: int, height: int):
+    """Compiled strip-sharded render (cache rationale: _view_parallel_fn)."""
+    del width, height  # cache keys only: a new camera size must re-trace
+    from g4splat_tpu.ops.rasterize import render
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P("data"),
+    )
+    def go(scene, cam):
+        d = jax.lax.axis_index("data")
+        y0 = (d * strip_h).astype(cam.cy.dtype)
+        crop = cam.replace(cy=cam.cy - y0, height=strip_h)
+        # Slim inference kernel unless a distortion/contrib map is requested
+        # (those channels are zeros under need_aux=False on pallas).
+        na = any(k in ("rend_dist", "n_contrib", "dist_m1", "dist_m2")
+                 for k in keys)
+        out = render(crop, scene, backend=backend, need_aux=na)
+        return tuple(out[k][None] for k in keys)
+
+    return go
+
+
 @_functools.lru_cache(maxsize=32)
 def _view_parallel_fn(mesh: Mesh, backend: str, keys: tuple):
     """Compiled sharded render, cached on (mesh, backend, keys): jit caches

@@ -123,13 +123,58 @@ def depth_order_loss(
     normalize: bool = True,
     log_space: bool = True,
     log_scale: float = 20.0,
+    sample: str = "per_pixel",
+    n_global_shifts: int = 4,
 ) -> jnp.ndarray:
     """Pairwise relative-depth-order loss (matcha depth.py:142-223): each pixel
     is paired with a uniformly-shifted neighbor (≤5% of image size); penalize
     sign disagreement of the depth differences vs the prior,
-    -min(0, Δd·sign-ish(Δd_prior)), optionally log-compressed."""
+    -min(0, Δd·sign-ish(Δd_prior)), optionally log-compressed.
+
+    sample="per_pixel" is the reference's independent per-pixel shift — an
+    (H·W)-element random gather whose backward is an equally random
+    scatter-add; TPU runs one-element gathers at ~14 ns each, so at 768×576
+    this one term costs ~10 ms/step. sample="global" draws `n_global_shifts`
+    image-wide shifts instead and pairs via jnp.roll (slice+concat, no
+    gather): the same order-violation statistic, sampled coarsely per step
+    and densely across steps (shifts are iid per iteration). Out-of-range
+    pairs are masked out rather than clamped-to-border like the reference
+    (a clamped border pair is a self-pair with zero loss; masking only
+    changes the mean's denominator)."""
     H, W = depth.shape
     max_shift = int(round(max_pixel_shift_ratio * max(H, W)))
+
+    def pair_loss(sd, spd, valid):
+        diff = (depth - sd) / scene_extent
+        prior_diff = (prior_depth - spd) / scene_extent
+        if normalize:
+            prior_diff = prior_diff / jnp.maximum(
+                jax.lax.stop_gradient(jnp.abs(prior_diff)), 1e-8
+            )
+        loss = -jnp.minimum(diff * prior_diff, 0.0)
+        if log_space:
+            loss = jnp.log1p(log_scale * loss)
+        if valid is None:
+            return jnp.mean(loss)
+        return (jnp.sum(loss * valid)
+                / jnp.maximum(jnp.sum(valid), 1.0))
+
+    if sample == "global":
+        rows = jnp.arange(H)[:, None]
+        cols = jnp.arange(W)[None, :]
+
+        def one(k):
+            dy, dx = jax.random.randint(k, (2,), -max_shift, max_shift + 1)
+            sd = jnp.roll(depth, (-dy, -dx), axis=(0, 1))
+            spd = jnp.roll(prior_depth, (-dy, -dx), axis=(0, 1))
+            valid = ((rows + dy >= 0) & (rows + dy < H)
+                     & (cols + dx >= 0) & (cols + dx < W)
+                     ).astype(depth.dtype)
+            return pair_loss(sd, spd, valid)
+
+        ks = jax.random.split(key, n_global_shifts)
+        return jnp.mean(jax.vmap(one)(ks))
+
     coords = jnp.stack(
         jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij"), axis=-1
     )
@@ -139,16 +184,7 @@ def depth_order_loss(
     )
     sd = depth[shifted[..., 0], shifted[..., 1]]
     spd = prior_depth[shifted[..., 0], shifted[..., 1]]
-    diff = (depth - sd) / scene_extent
-    prior_diff = (prior_depth - spd) / scene_extent
-    if normalize:
-        prior_diff = prior_diff / jnp.maximum(
-            jax.lax.stop_gradient(jnp.abs(prior_diff)), 1e-8
-        )
-    loss = -jnp.minimum(diff * prior_diff, 0.0)
-    if log_space:
-        loss = jnp.log1p(log_scale * loss)
-    return jnp.mean(loss)
+    return pair_loss(sd, spd, None)
 
 
 def anisotropy_loss(scaling: jnp.ndarray, alive: jnp.ndarray,

@@ -67,6 +67,10 @@ class TrainConfig:
     anisotropy_max_ratio: float = struct.field(pytree_node=False, default=5.0)
     use_chart_priors: bool = struct.field(pytree_node=False, default=True)
     use_depth_order: bool = struct.field(pytree_node=False, default=True)
+    # "per_pixel" = reference-parity independent shifts (gather-heavy);
+    # "global" = TPU fast path (losses.depth_order_loss docstring).
+    depth_order_sample: str = struct.field(pytree_node=False,
+                                           default="per_pixel")
     initial_regularization_factor: float = struct.field(pytree_node=False, default=0.5)
     confidence_weighting: float = struct.field(pytree_node=False, default=0.5)
     depth_ratio: float = struct.field(pytree_node=False, default=0.5)
@@ -212,6 +216,7 @@ def compute_losses(
             prior_total = prior_total + lam_do * L.depth_order_loss(
                 key, surf_depth, view["prior_depth"],
                 scene_extent=cfg.spatial_lr_scale,
+                sample=cfg.depth_order_sample,
             )
         total = total + prior_total
         aux["priors"] = prior_total

@@ -167,6 +167,76 @@ def pack_variants2():
 
 
 
+def build_scene_np(n=200_000, seed=0):
+    """bench.build_scene's distribution, built host-side: only the ops under
+    test compile on the device (non-kernel XLA compiles through the tunnel
+    are wildly slow; the Pallas kernels themselves compile in ~2 s)."""
+    rng = np.random.RandomState(seed)
+    xyz = rng.uniform(-3.0, 3.0, (n, 3)).astype(np.float32)
+    wall = rng.randint(0, 8, n)
+    xyz[wall == 0, 2] = 3.0
+    cols = rng.rand(n, 3).astype(np.float32)
+    scales = np.exp(rng.uniform(-4.5, -3.0, n)).astype(np.float32)
+    quats = rng.randn(n, 4).astype(np.float32)
+    return GaussianScene.from_points(xyz, cols, scales=scales, quats=quats,
+                                     initial_opacity=0.8)
+
+
+def quick():
+    """Kernel-focused timings on a host-built scene: binning, pack, and the
+    forward kernel in both want_aux modes — one process, comparable numbers."""
+    W, H = 768, 576
+    scene = build_scene_np()
+    cam = lookat_camera([0.0, 0.0, -6.5], [0, 0, 0], [0, -1, 0],
+                        fx=600.0, fy=600.0, width=W, height=H)
+    cfg = RenderConfig()
+    n_tiles = ((W + 15) // 16) * ((H + 15) // 16)
+
+    prep_fn = jax.jit(lambda s: preprocess(
+        cam, xyz=s.xyz, scaling=s.scaling(), rotation_raw=s.rotation_raw,
+        opacity=s.opacity(), features=s.features(),
+        sh_degree=s.active_sh_degree, config=cfg))
+    prep = timeit("preprocess", prep_fn, scene)
+    binning = timeit("bin_splats", jax.jit(lambda p: bin_splats(p, W, H)),
+                     prep)
+    for slim in (False, True):
+        comb = timeit(
+            f"pack_entries slim={slim}",
+            jax.jit(lambda p, b, s=slim: _pack_entries(
+                p, b.gauss_id, b.tile_id < n_tiles, slim=s)),
+            prep, binning)
+        pad = (-comb.shape[1]) % CHUNK
+        if pad:
+            comb = jnp.pad(comb, ((0, 0), (0, pad)))
+        n_chunks_max = comb.shape[1] // CHUNK
+        bg = jnp.zeros(3)
+        kern = jax.jit(lambda g, ts, tc, s=slim, m=n_chunks_max:
+                       _rasterize_tiles_pallas(
+                           g, ts, tc, bg, W, H, cfg.near, cfg.far, m,
+                           want_aux=not s))
+        timeit(f"pallas kernel want_aux={not slim}", kern, comb,
+               binning.tile_start, binning.tile_count)
+
+
+def dorder_profile():
+    """Per-pixel (reference) vs global-shift (TPU) depth-order loss cost at
+    768×576 — fwd and fwd+grad."""
+    from g4splat_tpu.train import losses as L
+
+    H, W = 576, 768
+    rng = np.random.RandomState(0)
+    d = jnp.asarray(rng.rand(H, W) + 1.0, jnp.float32)
+    pd = jnp.asarray(rng.rand(H, W) + 1.0, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    for sample in ("per_pixel", "global"):
+        f = jax.jit(lambda dd, s=sample: L.depth_order_loss(key, dd, pd,
+                                                            sample=s))
+        timeit(f"depth_order fwd {sample}", f, d)
+        g = jax.jit(jax.grad(lambda dd, s=sample: L.depth_order_loss(
+            key, dd, pd, sample=s)))
+        timeit(f"depth_order grad {sample}", g, d)
+
+
 def bwd_profile():
     W, H = 768, 576
     scene = build_scene()
@@ -221,5 +291,9 @@ if __name__ == "__main__":
         pack_variants(); pack_variants2()
     elif len(_s.argv) > 1 and _s.argv[1] == "bwd":
         bwd_profile()
+    elif len(_s.argv) > 1 and _s.argv[1] == "quick":
+        quick()
+    elif len(_s.argv) > 1 and _s.argv[1] == "dorder":
+        dorder_profile()
     else:
         main()

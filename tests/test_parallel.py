@@ -357,3 +357,44 @@ class TestDataParallel:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestTileParallel:
+    def test_tile_parallel_render_matches_full_frame(self):
+        """Strip-sharded megapixel path: each device renders a band of tile
+        rows through an exactly-equivalent cropped camera; the assembled
+        image must match the full-frame single-device render, including
+        splats whose footprint crosses strip seams, and surf_normal must be
+        recomputed globally (seam rows use cross-strip neighbors)."""
+        from g4splat_tpu.core.cameras import lookat_camera
+        from g4splat_tpu.models.gaussians import GaussianScene
+        from g4splat_tpu.ops.rasterize import render
+        from g4splat_tpu.parallel.mesh import tile_parallel_render
+
+        rng = np.random.RandomState(7)
+        n = 160
+        scene = GaussianScene.from_points(
+            rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32),
+            rng.rand(n, 3).astype(np.float32),
+            # Mix of small and strip-crossing footprints.
+            scales=np.where(np.arange(n) % 5 == 0, 0.35, 0.08
+                            ).astype(np.float32),
+            initial_opacity=0.75,
+        )
+        # H=72: 5 tile rows over 8 devices -> rows_per=1, strips of 16 px,
+        # three all-padding strips at the bottom.
+        cam = lookat_camera([0.0, 0.2, -2.6], [0, 0, 0], [0, -1, 0],
+                            fx=55.0, fy=55.0, width=48, height=72)
+        mesh = make_mesh(n_data=8)
+        out = tile_parallel_render(
+            mesh, replicate(mesh, scene), replicate(mesh, cam),
+            backend="tiled",
+            keys=("render", "rend_alpha", "surf_depth", "surf_normal"),
+        )
+        ref = render(cam, scene, backend="tiled")
+        assert out["render"].shape == (72, 48, 3)
+        for k in ("render", "rend_alpha", "surf_depth", "surf_normal"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]), atol=3e-4,
+                err_msg=k)

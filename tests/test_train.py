@@ -33,6 +33,23 @@ class TestLosses:
         assert float(L.depth_order_loss(key, d, d * 2.0)) == pytest.approx(0.0, abs=1e-7)
         assert float(L.depth_order_loss(key, d, -d)) > 0.01
 
+    def test_depth_order_loss_global_sampling(self):
+        """TPU fast path (image-wide roll shifts): same zero/positive
+        behavior as per-pixel, and comparable magnitude on inverted order."""
+        key = jax.random.PRNGKey(0)
+        d = jax.random.uniform(key, (16, 16)) + 1.0
+        g0 = float(L.depth_order_loss(key, d, d * 2.0, sample="global"))
+        assert g0 == pytest.approx(0.0, abs=1e-7)
+        g1 = float(L.depth_order_loss(key, d, -d, sample="global"))
+        p1 = float(L.depth_order_loss(key, d, -d))
+        assert g1 > 0.01
+        assert 0.3 < g1 / p1 < 3.0
+        # Gradients flow through the rolled pairs.
+        grad = jax.grad(
+            lambda x: L.depth_order_loss(key, x, -d, sample="global")
+        )(d)
+        assert float(jnp.max(jnp.abs(grad))) > 0.0
+
     def test_anisotropy(self):
         scaling = jnp.array([[1.0, 1.0], [10.0, 1.0]])
         alive = jnp.array([1.0, 1.0])
