@@ -19,23 +19,22 @@ import numpy as np
 
 
 def build_scene(n=200_000, seed=0):
-    import jax
-    import jax.numpy as jnp
+    """Room-like shell: points on walls/floor plus interior clutter.
 
+    Built host-side with numpy so the only device compiles are the render
+    path under test (eager jax.random scene construction was an extra
+    highly-variable XLA compile through the remote-compile relay)."""
     from g4splat_tpu.models.gaussians import GaussianScene
 
-    key = jax.random.PRNGKey(seed)
-    ks = jax.random.split(key, 5)
-    # Room-like shell: points on walls/floor plus interior clutter.
-    xyz = jax.random.uniform(ks[0], (n, 3), minval=-3.0, maxval=3.0)
-    wall = jax.random.randint(ks[1], (n,), 0, 8)
-    xyz = jnp.where((wall[:, None] == 0), xyz.at[:, 2].set(3.0), xyz)
-    cols = jax.random.uniform(ks[2], (n, 3))
-    scales = jnp.exp(jax.random.uniform(ks[3], (n,), minval=-4.5, maxval=-3.0))
-    quats = jax.random.normal(ks[4], (n, 4))
+    rng = np.random.RandomState(seed)
+    xyz = rng.uniform(-3.0, 3.0, (n, 3)).astype(np.float32)
+    wall = rng.randint(0, 8, n)
+    xyz[wall == 0, 2] = 3.0
+    cols = rng.rand(n, 3).astype(np.float32)
+    scales = np.exp(rng.uniform(-4.5, -3.0, n)).astype(np.float32)
+    quats = rng.randn(n, 4).astype(np.float32)
     return GaussianScene.from_points(
-        np.asarray(xyz), np.asarray(cols), scales=np.asarray(scales),
-        quats=np.asarray(quats), initial_opacity=0.8,
+        xyz, cols, scales=scales, quats=quats, initial_opacity=0.8,
     )
 
 
@@ -56,7 +55,13 @@ def main():
     backend_used = None
     for backend in ("pallas", "tiled"):
         try:
-            f = jax.jit(lambda s: render(cam, s, backend=backend)["render"])
+            # Inference benchmark: need_aux=False selects the slim forward
+            # kernel (identical "render" output; skips the distortion-moment
+            # scan and n_contrib bookkeeping that only gradients consume).
+            # Other backends get the same effect from XLA dead-code
+            # elimination of the unused outputs.
+            f = jax.jit(lambda s: render(cam, s, backend=backend,
+                                         need_aux=False)["render"])
             img = f(scene)
             img.block_until_ready()
             backend_used = backend

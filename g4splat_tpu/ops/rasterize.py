@@ -128,6 +128,14 @@ def render(
     return out
 
 
+def mark_visible(camera: Camera, xyz: jnp.ndarray) -> jnp.ndarray:
+    """Frustum visibility of 3D points — the rasterizer binding's
+    markVisible helper (diff_surfel_rasterization/__init__.py:177-186 →
+    rasterizer_impl.cu in_frustum): view-space z ≥ 0.2."""
+    p_view = xyz @ camera.w2c[:3, :3].T + camera.w2c[:3, 3]
+    return p_view[:, 2] >= 0.2
+
+
 # Debug dump-on-nonfinite (reference dump-on-error plumbing,
 # diff_surfel_rasterization/__init__.py:83-90 snapshot_fw.dump): set
 # G4_DEBUG_DUMP=/path/dir to snapshot the rasterizer inputs whenever a render

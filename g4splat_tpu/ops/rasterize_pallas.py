@@ -53,6 +53,9 @@ from g4splat_tpu.ops.rasterize_tiled import Binning, bin_splats
 NPIX = TILE * TILE          # 256 pixels per tile
 CHUNK = 128                 # splat entries per inner step (lane width)
 RASTER_GROUP = 4            # tiles per grid step (amortizes step overhead)
+EARLY_BREAK = True          # break the chunk walk once the tile saturates
+                            # (exact; False = legacy full walk, kept as an
+                            # ablation/fallback switch)
 COMB_F = 24                 # rows 0-8 Tu/Tv/Tw, 9-10 center, 11 opacity,
                             # 12-14 rgb, 15-17 normal, 18-23 pad (3×8 sublanes)
 GEOM_F = 16                 # legacy geometry row budget (bwd kernel scratch)
@@ -201,9 +204,8 @@ def _render_one_tile(
     def _():
         start_copy(0)
 
-    def chunk_body(c, _):
-        T_col = aux_ref[:, 0:1]                    # (NPIX, 1)
-        live_tile = jnp.max(T_col) >= T_EPS
+    def chunk_body(carry):
+        c, _ = carry
 
         wait_copy(c)
 
@@ -211,177 +213,202 @@ def _render_one_tile(
         def _():
             start_copy(c + 1)
 
-        @pl.when(live_tile)
-        def _():
-            g = comb_vmem[jax.lax.rem(c, 2)]        # (COMB_F, CHUNK)
+        T_col = aux_ref[:, 0:1]                 # (NPIX, 1)
+        g = comb_vmem[jax.lax.rem(c, 2)]        # (COMB_F, CHUNK)
 
-            def row(i):
-                return g[i, :][None, :]             # (1, CHUNK)
+        def row(i):
+            return g[i, :][None, :]             # (1, CHUNK)
 
-            Tu0, Tu1, Tu2 = row(0), row(1), row(2)
-            Tv0, Tv1, Tv2 = row(3), row(4), row(5)
-            Tw0, Tw1, Tw2 = row(6), row(7), row(8)
-            if want_aux:
-                cx, cy, opa = row(9), row(10), row(11)
-            else:
-                # Slim 16-row table: recompute the low-pass center from the
-                # T rows (preprocess dual-conic math, forward.cu:119-147) on
-                # (1, CHUNK) vectors — ~12 row ops versus a whole extra
-                # sublane tile in the entry gather.
-                opa = row(9)
-                C2 = 9.0  # CUTOFF²
-                dist = C2 * (Tw0 * Tw0 + Tw1 * Tw1) - Tw2 * Tw2
-                cok = jnp.abs(dist) > 1e-12
-                cinv = 1.0 / jnp.where(cok, dist, 1.0)
-                cx = jnp.where(
-                    cok,
-                    (C2 * (Tu0 * Tw0 + Tu1 * Tw1) - Tu2 * Tw2) * cinv, 0.0,
-                )
-                cy = jnp.where(
-                    cok,
-                    (C2 * (Tv0 * Tw0 + Tv1 * Tw1) - Tv2 * Tw2) * cinv, 0.0,
-                )
-            # In-range test depends only on the lane (entry), not the pixel:
-            # evaluate it on a (1, CHUNK) row and fold it into the opacity so
-            # the big (NPIX, CHUNK) mask passes below stay untouched.
-            erow = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            gpos_row = abase0 + c * CHUNK + erow
-            in_row = (gpos_row >= start) & (gpos_row < start + count)
-            opa = jnp.where(in_row, opa, 0.0)
-
-            # The homogeneous ray-splat planes p = (x·Tw−Tu)×(y·Tw−Tv) are
-            # *bilinear* in (x, y) — the x·y terms cancel — so hoist the 9
-            # coefficients to per-entry (1, CHUNK) vectors and each p_i is
-            # two FMAs per pixel-entry pair instead of the full cross
-            # product (the kernel is VPU-bound on exactly this math).
-            A0 = Tw2 * Tv1 - Tw1 * Tv2
-            B0 = Tu2 * Tw1 - Tu1 * Tw2
-            C0 = Tu1 * Tv2 - Tu2 * Tv1
-            A1 = Tw0 * Tv2 - Tw2 * Tv0
-            B1 = Tu0 * Tw2 - Tu2 * Tw0
-            C1 = Tu2 * Tv0 - Tu0 * Tv2
-            A2 = Tw1 * Tv0 - Tw0 * Tv1
-            B2 = Tu1 * Tw0 - Tu0 * Tw1
-            C2 = Tu0 * Tv1 - Tu1 * Tv0
-            p0 = px * A0 + py * B0 + C0
-            p1 = px * A1 + py * B1 + C1
-            p2 = px * A2 + py * B2 + C2
-            pz_ok = jnp.abs(p2) >= 1e-20
-            # One reciprocal shared by su and sv (a second divide pass costs
-            # a full VPU sweep). No ±3e4 clips: overflow drives rho3d→inf,
-            # which loses the min() against rho2d, and the NaN-able z3d
-            # (inf·0) is only ever selected when use3d is true (rho3d
-            # finite) — verified against the dense oracle.
-            inv = 1.0 / jnp.where(pz_ok, p2, 1.0)
-            su = p0 * inv
-            sv = p1 * inv
-            rho3d = su * su + sv * sv
-            dx = cx - px
-            dy = cy - py
-            rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
-            use3d = rho3d <= rho2d
-            rho = jnp.minimum(rho3d, rho2d)
-            z = jnp.where(use3d, su * Tw0 + sv * Tw1 + Tw2, Tw2)
-            alpha = jnp.minimum(ALPHA_CLAMP, opa * jnp.exp(-0.5 * rho))
-            live = pz_ok & (z >= near) & (alpha >= ALPHA_EPS)
-            alpha = jnp.where(live, alpha, 0.0)
-
-            # ONE log-space triangular matmul gives the inclusive prefix of
-            # the RAW alphas; the oracle's early-stop set {T_raw_incl < eps}
-            # is a *global* suffix of that raw cumprod, so on the kept prefix
-            # raw == effective and the exclusive prefix is T_incl/(1−α) —
-            # no second scan needed, and the contributor set is a prefix
-            # (which the backward kernel reconstructs from n_contrib).
-            log_om = jnp.log1p(-alpha)
-            cum_incl = jnp.dot(log_om, ut_incl,
-                               preferred_element_type=jnp.float32,
-                               precision=HI)
-            T_incl = T_col * jnp.exp(cum_incl)
-            skip = T_incl < T_EPS
-            # exp(cum_incl − log_om) would be a second transcendental pass;
-            # T_excl = T_incl/(1−α) is one divide (α ≤ 0.99 keeps it safe).
-            T_excl = T_incl / (1.0 - alpha)
-            alpha_eff = jnp.where(skip, 0.0, alpha)
-            w = alpha_eff * T_excl                   # (NPIX, CHUNK)
-
-            wz = w * z
-            lea = jnp.where(skip, 0.0, log_om)     # log(1−α_eff)
-
-            # Median depth: last entry with incoming T > 0.5 (T monotone ⇒
-            # the pick row zb has one hot lane per pixel).
-            contrib = alpha_eff > 0.0
-            med_mask = (T_excl > 0.5) & contrib
-            best = jnp.max(jnp.where(med_mask, eidx, -1), axis=1, keepdims=True)
-            zb = jnp.where(eidx == best, z, 0.0)
-
-            # Distortion moments (2DGS appendix; forward.cu:392-400): the two
-            # exclusive scans ride one stacked (2·NPIX, CHUNK)@(CHUNK, CHUNK)
-            # matmul, and the ΣMw/ΣM²w chunk totals fall out of the scan's
-            # last column + last element. Micro-variants measured on-chip and
-            # rejected: replacing this scan with a closed form over chunk
-            # totals (+2 lane reductions) was +8 ms/frame; riding the other
-            # totals as extra scan rows was +7 ms (HIGHEST cost scales with
-            # row-tiles); bf16 casts of the big operands were +4 ms.
-            if want_aux:
-                acc_ref[:, :] += jax.lax.dot_general(
-                    w, g[12 : 12 + VAL_F],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=HI,
-                )
-            else:
-                acc_ref[:, 0:6] += jax.lax.dot_general(
-                    w, g[10:16],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=HI,
-                )
-            if want_aux:
-                # Per-entry distortion rows (2DGS appendix;
-                # forward.cu:392-400).
-                m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
-                mw = m * w
-                m2w = m * m * w
-                ut_excl = (rowe < cole).astype(jnp.float32)
-                cs2 = jnp.dot(jnp.concatenate([mw, m2w], axis=0), ut_excl,
-                              preferred_element_type=jnp.float32, precision=HI)
-                cs_mw = cs2[:NPIX]
-                cs_m2w = cs2[NPIX:]
-                M1_col = aux_ref[:, 2:3]
-                M2_col = aux_ref[:, 3:4]
-                A = 1.0 - T_excl
-                dist_add = jnp.sum(
-                    (m * m * A + (M2_col + cs_m2w)
-                     - 2.0 * m * (M1_col + cs_mw)) * w,
-                    axis=1, keepdims=True,
-                )
-                aux_ref[:, 4:5] += dist_add
-                aux_ref[:, 2:3] += (cs_mw[:, CHUNK - 1 : CHUNK]
-                                    + mw[:, CHUNK - 1 : CHUNK])
-                aux_ref[:, 3:4] += (cs_m2w[:, CHUNK - 1 : CHUNK]
-                                    + m2w[:, CHUNK - 1 : CHUNK])
-                # n_contrib (1-based global index of last contributor).
-                lastc = jnp.max(
-                    jnp.where(contrib, gpos_row - start + 1, 0),
-                    axis=1, keepdims=True,
-                ).astype(jnp.float32)
-                aux_ref[:, 6:7] = jnp.maximum(aux_ref[:, 6:7], lastc)
-            aux_ref[:, 1:2] += jnp.sum(wz, axis=1, keepdims=True)
-            aux_ref[:, 5:6] = jnp.where(
-                best >= 0,
-                jnp.sum(zb, axis=1, keepdims=True),
-                aux_ref[:, 5:6],
+        Tu0, Tu1, Tu2 = row(0), row(1), row(2)
+        Tv0, Tv1, Tv2 = row(3), row(4), row(5)
+        Tw0, Tw1, Tw2 = row(6), row(7), row(8)
+        if want_aux:
+            cx, cy, opa = row(9), row(10), row(11)
+        else:
+            # Slim 16-row table: recompute the low-pass center from the
+            # T rows (preprocess dual-conic math, forward.cu:119-147) on
+            # (1, CHUNK) vectors — ~12 row ops versus a whole extra
+            # sublane tile in the entry gather.
+            opa = row(9)
+            C2 = 9.0  # CUTOFF²
+            dist = C2 * (Tw0 * Tw0 + Tw1 * Tw1) - Tw2 * Tw2
+            cok = jnp.abs(dist) > 1e-12
+            cinv = 1.0 / jnp.where(cok, dist, 1.0)
+            cx = jnp.where(
+                cok,
+                (C2 * (Tu0 * Tw0 + Tu1 * Tw1) - Tu2 * Tw2) * cinv, 0.0,
             )
+            cy = jnp.where(
+                cok,
+                (C2 * (Tv0 * Tw0 + Tv1 * Tw1) - Tv2 * Tw2) * cinv, 0.0,
+            )
+        # In-range test depends only on the lane (entry), not the pixel:
+        # evaluate it on a (1, CHUNK) row and fold it into the opacity so
+        # the big (NPIX, CHUNK) mask passes below stay untouched.
+        erow = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        gpos_row = abase0 + c * CHUNK + erow
+        in_row = (gpos_row >= start) & (gpos_row < start + count)
+        opa = jnp.where(in_row, opa, 0.0)
 
-            # Carries: col 0 = raw cumprod (skip test, decays forever);
-            # col 7 = log effective T (Σ kept log(1−α) — identical to the
-            # frozen-at-last-kept T because the raw cumprod is monotone).
-            aux_ref[:, 0:1] = T_incl[:, CHUNK - 1 : CHUNK]
-            aux_ref[:, 7:8] += jnp.sum(lea, axis=1, keepdims=True)
+        # The homogeneous ray-splat planes p = (x·Tw−Tu)×(y·Tw−Tv) are
+        # *bilinear* in (x, y) — the x·y terms cancel — so hoist the 9
+        # coefficients to per-entry (1, CHUNK) vectors and each p_i is
+        # two FMAs per pixel-entry pair instead of the full cross
+        # product (the kernel is VPU-bound on exactly this math).
+        A0 = Tw2 * Tv1 - Tw1 * Tv2
+        B0 = Tu2 * Tw1 - Tu1 * Tw2
+        C0 = Tu1 * Tv2 - Tu2 * Tv1
+        A1 = Tw0 * Tv2 - Tw2 * Tv0
+        B1 = Tu0 * Tw2 - Tu2 * Tw0
+        C1 = Tu2 * Tv0 - Tu0 * Tv2
+        A2 = Tw1 * Tv0 - Tw0 * Tv1
+        B2 = Tu1 * Tw0 - Tu0 * Tw1
+        C2 = Tu0 * Tv1 - Tu1 * Tv0
+        p0 = px * A0 + py * B0 + C0
+        p1 = px * A1 + py * B1 + C1
+        p2 = px * A2 + py * B2 + C2
+        pz_ok = jnp.abs(p2) >= 1e-20
+        # One reciprocal shared by su and sv (a second divide pass costs
+        # a full VPU sweep). No ±3e4 clips: overflow drives rho3d→inf,
+        # which loses the min() against rho2d, and the NaN-able z3d
+        # (inf·0) is only ever selected when use3d is true (rho3d
+        # finite) — verified against the dense oracle.
+        inv = 1.0 / jnp.where(pz_ok, p2, 1.0)
+        su = p0 * inv
+        sv = p1 * inv
+        rho3d = su * su + sv * sv
+        dx = cx - px
+        dy = cy - py
+        rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+        use3d = rho3d <= rho2d
+        rho = jnp.minimum(rho3d, rho2d)
+        z = jnp.where(use3d, su * Tw0 + sv * Tw1 + Tw2, Tw2)
+        alpha = jnp.minimum(ALPHA_CLAMP, opa * jnp.exp(-0.5 * rho))
+        live = pz_ok & (z >= near) & (alpha >= ALPHA_EPS)
+        alpha = jnp.where(live, alpha, 0.0)
 
-        return 0
+        # ONE log-space triangular matmul gives the inclusive prefix of
+        # the RAW alphas; the oracle's early-stop set {T_raw_incl < eps}
+        # is a *global* suffix of that raw cumprod, so on the kept prefix
+        # raw == effective and the exclusive prefix is T_incl/(1−α) —
+        # no second scan needed, and the contributor set is a prefix
+        # (which the backward kernel reconstructs from n_contrib).
+        log_om = jnp.log1p(-alpha)
+        cum_incl = jnp.dot(log_om, ut_incl,
+                           preferred_element_type=jnp.float32,
+                           precision=HI)
+        T_incl = T_col * jnp.exp(cum_incl)
+        skip = T_incl < T_EPS
+        # exp(cum_incl − log_om) would be a second transcendental pass;
+        # T_excl = T_incl/(1−α) is one divide (α ≤ 0.99 keeps it safe).
+        T_excl = T_incl / (1.0 - alpha)
+        alpha_eff = jnp.where(skip, 0.0, alpha)
+        w = alpha_eff * T_excl                   # (NPIX, CHUNK)
+
+        wz = w * z
+        lea = jnp.where(skip, 0.0, log_om)     # log(1−α_eff)
+
+        # Median depth: last entry with incoming T > 0.5 (T monotone ⇒
+        # the pick row zb has one hot lane per pixel).
+        contrib = alpha_eff > 0.0
+        med_mask = (T_excl > 0.5) & contrib
+        best = jnp.max(jnp.where(med_mask, eidx, -1), axis=1, keepdims=True)
+        zb = jnp.where(eidx == best, z, 0.0)
+
+        # Distortion moments (2DGS appendix; forward.cu:392-400): the two
+        # exclusive scans ride one stacked (2·NPIX, CHUNK)@(CHUNK, CHUNK)
+        # matmul, and the ΣMw/ΣM²w chunk totals fall out of the scan's
+        # last column + last element. Micro-variants measured on-chip and
+        # rejected: replacing this scan with a closed form over chunk
+        # totals (+2 lane reductions) was +8 ms/frame; riding the other
+        # totals as extra scan rows was +7 ms (HIGHEST cost scales with
+        # row-tiles); bf16 casts of the big operands were +4 ms.
+        if want_aux:
+            acc_ref[:, :] += jax.lax.dot_general(
+                w, g[12 : 12 + VAL_F],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HI,
+            )
+        else:
+            acc_ref[:, 0:6] += jax.lax.dot_general(
+                w, g[10:16],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=HI,
+            )
+        if want_aux:
+            # Per-entry distortion rows (2DGS appendix;
+            # forward.cu:392-400).
+            m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
+            mw = m * w
+            m2w = m * m * w
+            ut_excl = (rowe < cole).astype(jnp.float32)
+            cs2 = jnp.dot(jnp.concatenate([mw, m2w], axis=0), ut_excl,
+                          preferred_element_type=jnp.float32, precision=HI)
+            cs_mw = cs2[:NPIX]
+            cs_m2w = cs2[NPIX:]
+            M1_col = aux_ref[:, 2:3]
+            M2_col = aux_ref[:, 3:4]
+            A = 1.0 - T_excl
+            dist_add = jnp.sum(
+                (m * m * A + (M2_col + cs_m2w)
+                 - 2.0 * m * (M1_col + cs_mw)) * w,
+                axis=1, keepdims=True,
+            )
+            aux_ref[:, 4:5] += dist_add
+            aux_ref[:, 2:3] += (cs_mw[:, CHUNK - 1 : CHUNK]
+                                + mw[:, CHUNK - 1 : CHUNK])
+            aux_ref[:, 3:4] += (cs_m2w[:, CHUNK - 1 : CHUNK]
+                                + m2w[:, CHUNK - 1 : CHUNK])
+            # n_contrib (1-based global index of last contributor).
+            lastc = jnp.max(
+                jnp.where(contrib, gpos_row - start + 1, 0),
+                axis=1, keepdims=True,
+            ).astype(jnp.float32)
+            aux_ref[:, 6:7] = jnp.maximum(aux_ref[:, 6:7], lastc)
+        aux_ref[:, 1:2] += jnp.sum(wz, axis=1, keepdims=True)
+        aux_ref[:, 5:6] = jnp.where(
+            best >= 0,
+            jnp.sum(zb, axis=1, keepdims=True),
+            aux_ref[:, 5:6],
+        )
+
+        # Carries: col 0 = raw cumprod (skip test, decays forever);
+        # col 7 = log effective T (Σ kept log(1−α) — identical to the
+        # frozen-at-last-kept T because the raw cumprod is monotone).
+        T_last = T_incl[:, CHUNK - 1 : CHUNK]
+        aux_ref[:, 0:1] = T_last
+        aux_ref[:, 7:8] += jnp.sum(lea, axis=1, keepdims=True)
+
+        return c + 1, jnp.max(T_last) >= T_EPS
 
     # Traced per-tile bound: a tile only walks its own chunks (the CUDA
     # kernel's `rounds`); n_chunks_max is just the padding-safe ceiling.
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    if EARLY_BREAK:
+        # Early BREAK (the CUDA block-level `done` ballot): once every
+        # pixel's raw transmittance is under T_EPS, later chunks are all
+        # skipped by the oracle too, so exiting the loop is exact — and it
+        # drops their DMA issue+wait and loop overhead, which dominate on
+        # saturated tiles (opaque scenes saturate within 1-2 chunks of a
+        # 10+-chunk tile).
+        c_end, _ = jax.lax.while_loop(
+            lambda carry: (carry[0] < n_chunks) & carry[1],
+            chunk_body,
+            (0, True),
+        )
+
+        # Drain: on early exit (or a liveness-dead tile that never entered
+        # the body) exactly one copy — chunk c_end — was started but not
+        # waited; no in-flight DMA may survive into the next tile of this
+        # grid step.
+        @pl.when(c_end < n_chunks)
+        def _():
+            wait_copy(c_end)
+    else:
+        # Fallback full walk (computing a saturated chunk is semantically a
+        # no-op: every entry lands in the skip set).
+        jax.lax.fori_loop(
+            0, n_chunks, lambda c, live: chunk_body((c, live))[1], True
+        )
 
     T_fin = jnp.exp(aux_ref[:, 7:8])                  # effective final T
     bg = bg_ref[0:1, :]                               # (1, VAL_F)

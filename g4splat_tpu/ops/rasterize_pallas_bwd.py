@@ -459,12 +459,14 @@ def _bwd_one_tile(
 
         @pl.when(j >= WSLOTS)
         def _():
-            # Drain the DMA issued WSLOTS steps ago on this slot (window
-            # offset differs, byte count — what the semaphore counts —
-            # is identical).
+            # Drain the DMA issued WSLOTS steps ago on this slot. The sweep
+            # runs c descending, so that DMA targeted chunk c + WSLOTS —
+            # rebuild its true window so the wait descriptor matches the
+            # start descriptor exactly (not just by byte count).
+            issued = pl.multiple_of(abase0 + (c + WSLOTS) * CHUNK, CHUNK)
             pltpu.make_async_copy(
                 dcomb_vmem.at[wslot],
-                dcomb_hbm.at[:, pl.ds(base, CHUNK)],
+                dcomb_hbm.at[:, pl.ds(issued, CHUNK)],
                 wr_sem.at[wslot],
             ).wait()
 
@@ -519,11 +521,15 @@ def _bwd_one_tile(
     for k in range(WSLOTS):
         @pl.when(n_chunks >= k + 1)
         def _(k=k):
-            s = jax.lax.rem(
-                jnp.maximum(n_chunks - WSLOTS, 0) + k, WSLOTS
-            )
+            # Slot s's outstanding DMA was issued at sweep step j_issue,
+            # i.e. for chunk n_chunks−1−j_issue; rebuild that window so the
+            # wait descriptor matches the start descriptor exactly.
+            j_issue = jnp.maximum(n_chunks - WSLOTS, 0) + k
+            s = jax.lax.rem(j_issue, WSLOTS)
+            c_issue = n_chunks - 1 - j_issue
+            issued = pl.multiple_of(abase0 + c_issue * CHUNK, CHUNK)
             pltpu.make_async_copy(
-                dcomb_vmem.at[s], dcomb_hbm.at[:, pl.ds(base0, CHUNK)],
+                dcomb_vmem.at[s], dcomb_hbm.at[:, pl.ds(issued, CHUNK)],
                 wr_sem.at[s],
             ).wait()
 

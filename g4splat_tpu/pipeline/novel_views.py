@@ -42,6 +42,13 @@ class VisibilityGrid:
     ):
         self.bbox_min = np.asarray(bbox_min, np.float32)
         self.bbox_max = np.asarray(bbox_max, np.float32)
+        # Degenerate (e.g. planar-scene) extents would zero grid_size and NaN
+        # every index computation — inflate them to a minimal slab.
+        thin = self.bbox_max - self.bbox_min < 1e-6
+        pad = np.where(thin, 0.5 * max(1e-3, float(
+            (self.bbox_max - self.bbox_min).max())), 0.0).astype(np.float32)
+        self.bbox_min -= pad
+        self.bbox_max += pad
         self.resolution = resolution
         self.grid_size = (self.bbox_max - self.bbox_min) / resolution
 
@@ -115,19 +122,26 @@ def propose_object_centric(
     radius = np.linalg.norm(centers - target, axis=1).mean()
     up = np.array([0.0, -1.0, 0.0])
     f = _fov_to_focal(cfg.fov_deg, cfg.height)
-    cams = []
+    eyes = []
     for k in range(cfg.n_frames):
         a = 2 * np.pi * k / cfg.n_frames
         elev = 0.25 * np.sin(2 * a)
-        eye = target + radius * np.array(
+        eyes.append(target + radius * np.array(
             [np.cos(a) * np.cos(elev), np.sin(elev), np.sin(a) * np.cos(elev)]
-        )
-        if grid is not None and not grid.is_visible(eye[None])[0]:
-            continue
-        cams.append(
-            lookat_camera(eye, target, up, fx=f, fy=f,
-                          width=cfg.width, height=cfg.height)
-        )
+        ))
+    eyes = np.stack(eyes)
+    if grid is not None:
+        eyes = eyes[grid.is_visible(eyes)]
+        if len(eyes) == 0:
+            # Reference fallback (cam_utils.py:1055-1070): when the whole
+            # orbit lies in unobserved space, propose from the train camera
+            # centers instead; skip the stage only if even those are out.
+            eyes = centers[grid.is_visible(centers)]
+    cams = [
+        lookat_camera(eye, target, up, fx=f, fy=f,
+                      width=cfg.width, height=cfg.height)
+        for eye in eyes
+    ]
     return stack_cameras(cams) if cams else None
 
 

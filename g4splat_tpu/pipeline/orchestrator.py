@@ -37,7 +37,11 @@ from g4splat_tpu.io import colmap as colmap_io
 from g4splat_tpu.io.images import (
     load_image,
     save_depth_tiff,
+    save_depth_tiff_async,
     save_image,
+    save_image_async,
+    save_npy_async,
+    flush_io,
     save_mask_png,
 )
 from g4splat_tpu.io.ply import (
@@ -95,6 +99,9 @@ class PipelineConfig:
     # Optional 2× super-resolution re-inpainting pass
     # (see3d_util.py --super_resolution, :223-275).
     see3d_super_resolution: bool = False
+    # Voxel visibility grid over input-observed space (vis_grid.py:10-99);
+    # camera proposals outside it are rejected.
+    vis_grid_resolution: int = 256
     train_iterations: int = 7000
     gaussian_capacity: int = 2_000_000
     render_backend: str = "pallas"
@@ -263,11 +270,31 @@ class G4SplatPipeline:
                 pair_ids = S.build_pairs_exhaustive(V)
             pair_outputs = {}
             pairs = []
-            for (i, j) in pair_ids:
-                o = model.symmetric_inference(
-                    jnp.asarray(st.images[i : i + 1]),
-                    jnp.asarray(st.images[j : j + 1]),
+            # Pair ViT inference is the SfM stage's device-heavy part; batch
+            # it, sharding the pair axis over the mesh when chips allow
+            # (reference: strictly one pair at a time, forward_mast3r).
+            mesh = None
+            n_dev = len(jax.devices())
+            if (n_dev > 1 and len(pair_ids) > 1
+                    and jax.devices()[0].platform.lower() != "cpu"):
+                from g4splat_tpu.parallel.mesh import make_mesh
+
+                mesh = make_mesh(n_data=min(n_dev, len(pair_ids) * 2))
+            if hasattr(model, "symmetric_inference_batch"):
+                outs = model.symmetric_inference_batch(
+                    jnp.asarray(st.images[[i for i, j in pair_ids]]),
+                    jnp.asarray(st.images[[j for i, j in pair_ids]]),
+                    mesh=mesh,
                 )
+            else:  # minimal test doubles implement only the pair form
+                outs = [
+                    model.symmetric_inference(
+                        jnp.asarray(st.images[i : i + 1]),
+                        jnp.asarray(st.images[j : j + 1]),
+                    )
+                    for (i, j) in pair_ids
+                ]
+            for (i, j), o in zip(pair_ids, outs):
                 pair_outputs[(i, j)] = o
                 xy1, xy2, conf = extract_correspondences(
                     o[0]["desc"][0], o[2]["desc"][0],
@@ -518,24 +545,24 @@ class G4SplatPipeline:
                 next_id += H * W
                 pid_maps.append(ids)
                 all_pts.append(pts.reshape(-1, 3))
-                save_image(
+                save_image_async(
                     os.path.join(self.store.plane_root,
                                  f"rgb_frame{v:06d}.png"), st.images[v],
                 )
-                save_depth_tiff(
+                save_depth_tiff_async(
                     os.path.join(self.store.plane_root,
                                  f"depth_frame{v:06d}.tiff"), st.depths[v],
                 )
-                save_depth_tiff(
+                save_depth_tiff_async(
                     os.path.join(self.store.plane_root,
                                  f"mono_depth_frame{v:06d}.tiff"),
                     prior_depths[v],
                 )
-                np.save(
+                save_npy_async(
                     os.path.join(self.store.plane_root,
                                  f"depth_normal_world_frame{v:06d}.npy"), n,
                 )
-                np.save(
+                save_npy_async(
                     os.path.join(self.store.plane_root,
                                  f"mono_normal_world_frame{v:06d}.npy"),
                     mono_n,
@@ -546,11 +573,12 @@ class G4SplatPipeline:
 
             vis_counts, _ = build_visibility_masks(st.cameras, st.depths)
             for v in range(V):
-                np.save(
+                save_npy_async(
                     os.path.join(self.store.plane_root,
                                  f"visibility_frame{v:06d}.npy"),
                     vis_counts[v],
                 )
+            flush_io()
             st.normals = np.stack(normals)
             st.curvs = np.stack(curvs)
             st.pixel_point_ids = pid_maps
@@ -616,11 +644,12 @@ class G4SplatPipeline:
             st.depths = refined
             st.fitted_planes = planes
             for v in range(len(st.images)):
-                save_depth_tiff(
+                save_depth_tiff_async(
                     os.path.join(self.store.plane_root,
                                  f"refine_depth_frame{v:06d}.tiff"),
                     refined[v],
                 )
+            flush_io()
             # Confidence maps: input-only case is all ones (P8).
             if use_anchor_colors and st.anchor_view_ids:
                 st.images = anchor_plane_color_harmonize(
@@ -766,6 +795,7 @@ class G4SplatPipeline:
         from g4splat_tpu.ops.rasterize_common import RenderConfig
         from g4splat_tpu.pipeline.novel_views import (
             ProposalConfig,
+            VisibilityGrid,
             none_visible_rate_from_alpha,
             propose_look_around,
             propose_object_centric,
@@ -784,8 +814,53 @@ class G4SplatPipeline:
             input_cams = jax.tree.map(
                 lambda x: x[: st.input_view_num], st.cameras
             )
+            stage_dir = os.path.join(self.store.see3d_root, f"stage{stage}")
+            os.makedirs(stage_dir, exist_ok=True)
+
+            rcfg = RenderConfig(depth_ratio=0.5)
+            # Stage snapshot of the current model on the train views
+            # (render_novel_views.py:93-105); the rendered surf_depths double
+            # as the visibility-grid depth source, as in the reference.
+            rt_dir = os.path.join(stage_dir, "render-train-views")
+            os.makedirs(rt_dir, exist_ok=True)
+            train_depths_r = []
+            for idx in range(len(st.images)):
+                cam_t = jax.tree.map(lambda x: x[idx], st.cameras)
+                out_t = render(cam_t, st.scene, config=rcfg,
+                               backend=cfg.render_backend)
+                train_depths_r.append(np.asarray(out_t["surf_depth"]))
+                save_image_async(
+                    os.path.join(rt_dir, f"{idx:05d}.png"),
+                    np.asarray(out_t["render"]))
+                save_depth_tiff_async(
+                    os.path.join(rt_dir, f"depth_{idx:05d}.tiff"),
+                    train_depths_r[-1])
+
+            # Voxel visibility grid over the space the train views observe
+            # (vis_grid.py:10-99): bbox = Gaussian scene extent, depth source
+            # = the rendered train-view depths (render_novel_views.py:116-122).
+            # Proposals with eyes in unobserved voxels are rejected;
+            # resolution <= 0 disables the grid (the reference's
+            # visibility_grid=None branches).
+            grid = None
+            if cfg.vis_grid_resolution > 0:
+                alive_xyz = np.asarray(st.scene.xyz)[np.asarray(st.scene.alive)]
+                grid = VisibilityGrid(
+                    alive_xyz.min(0), alive_xyz.max(0),
+                    cfg.vis_grid_resolution, st.cameras,
+                    np.stack(train_depths_r),
+                )
+                inv = np.stack(np.nonzero(~grid.grid), -1)
+                if len(inv):
+                    inv_pts = (grid.bbox_min
+                               + (inv[:: max(1, len(inv) // 100_000)] + 0.5)
+                               * grid.grid_size)
+                    save_point_cloud_ply(
+                        os.path.join(stage_dir, "invisible_points.ply"),
+                        inv_pts.astype(np.float32),
+                    )
             if stage == 1:
-                cand = propose_object_centric(input_cams, grid=None, cfg=pcfg)
+                cand = propose_object_centric(input_cams, grid=grid, cfg=pcfg)
             elif stage == 2:
                 cand = propose_look_around(
                     input_cams, pcfg,
@@ -797,16 +872,19 @@ class G4SplatPipeline:
                     centers = np.stack([p["center"] for p in st.fitted_planes])
                     nrms = np.stack([p["normal"] for p in st.fitted_planes])
                     cand = propose_plane_targeted(
-                        input_cams, centers, nrms, cfg=pcfg
+                        input_cams, centers, nrms, grid=grid, cfg=pcfg
                     )
                 else:
-                    cand = propose_object_centric(input_cams, grid=None, cfg=pcfg)
+                    cand = propose_object_centric(input_cams, grid=grid,
+                                                  cfg=pcfg)
             if cand is None:
                 print(f"[pipeline] see3d stage {stage}: no candidates")
+                flush_io()
                 return
             n_cand = cand.w2c.shape[0]
 
-            rcfg = RenderConfig(depth_ratio=0.5)
+            raw_dir = os.path.join(stage_dir, "raw-gs")
+            os.makedirs(raw_dir, exist_ok=True)
             renders, alphas, depths_r = [], [], []
             for i in range(n_cand):
                 cam = jax.tree.map(lambda x: x[i], cand)
@@ -815,6 +893,21 @@ class G4SplatPipeline:
                 renders.append(np.asarray(out["render"]))
                 alphas.append(np.asarray(out["rend_alpha"]))
                 depths_r.append(np.asarray(out["surf_depth"]))
+                # Candidate file zoo (render_novel_views.py:183-226).
+                save_image_async(os.path.join(
+                    raw_dir, f"ori_warp_frame{i:06d}.png"), renders[i])
+                save_depth_tiff_async(os.path.join(
+                    raw_dir, f"depth_frame{i:06d}.tiff"), depths_r[i])
+                save_npy_async(os.path.join(
+                    raw_dir, f"alpha_{i:06d}.npy"), alphas[i])
+                am = alphas[i] > 0.5
+                save_mask_png(os.path.join(
+                    raw_dir, f"alpha_mask_frame{i:06d}.png"), am)
+                save_mask_png(os.path.join(
+                    raw_dir, f"mask_frame{i:06d}.png"), am)
+                save_image_async(os.path.join(
+                    raw_dir, f"warp_frame{i:06d}.png"),
+                    renders[i] * am[..., None])
             rates = [none_visible_rate_from_alpha(a) for a in alphas]
             alive = np.asarray(st.scene.alive)
             xyz = jnp.asarray(np.asarray(st.scene.xyz)[alive])
@@ -826,18 +919,37 @@ class G4SplatPipeline:
             if not sel:
                 print(f"[pipeline] see3d stage {stage}: no views selected "
                       f"(rates {min(rates):.2f}..{max(rates):.2f})")
+                flush_io()
                 return
-            stage_dir = os.path.join(self.store.see3d_root, f"stage{stage}")
             os.makedirs(os.path.join(stage_dir, "select-gs"), exist_ok=True)
 
             sel_warps = [renders[vid] for vid in sel]
             sel_masks = [alphas[vid] > 0.5 for vid in sel]
+            sel_pts = []
             for k in range(len(sel)):
-                save_image(os.path.join(stage_dir, "select-gs",
-                                        f"warp_frame{k:06d}.png"), sel_warps[k])
+                save_image_async(os.path.join(stage_dir, "select-gs",
+                                              f"warp_frame{k:06d}.png"),
+                                 sel_warps[k])
                 save_mask_png(os.path.join(stage_dir, "select-gs",
                                            f"mask_frame{k:06d}.png"),
                               sel_masks[k])
+                save_depth_tiff_async(
+                    os.path.join(stage_dir, "select-gs",
+                                 f"depth_frame{k:06d}.tiff"),
+                    depths_r[sel[k]])
+                # Selected-view surface points (render_novel_views.py:271-291).
+                scam = jax.tree.map(lambda x: x[sel[k]], cand)
+                d = np.asarray(depths_r[sel[k]])
+                p = np.asarray(scam.backproject(
+                    jnp.asarray(np.maximum(d, 1e-3)))).reshape(-1, 3)
+                sel_pts.append(p[(d > 1e-6).reshape(-1)])
+            if sel_pts:
+                save_point_cloud_ply(
+                    os.path.join(
+                        stage_dir,
+                        f"stage{stage}_need_inpaint_views_points.ply"),
+                    np.concatenate(sel_pts).astype(np.float32),
+                )
             if self.priors.see3d is not None and self.priors.vae is not None:
                 # All selected views jointly through the MV UNet, input views
                 # pinned as reference frames (see3d_util.py:145-220).
@@ -848,11 +960,11 @@ class G4SplatPipeline:
             inp_dir = os.path.join(stage_dir, "select-gs-inpainted")
             os.makedirs(inp_dir, exist_ok=True)
             for k, img in enumerate(inpainted_all):
-                save_image(os.path.join(
+                save_image_async(os.path.join(
                     inp_dir, f"predict_warp_frame{k:06d}.png"), img)
             if getattr(self, "_last_sr_preds", None):
                 for k, img in enumerate(self._last_sr_preds):
-                    save_image(os.path.join(
+                    save_image_async(os.path.join(
                         inp_dir, f"SR_predict_warp_frame{k:06d}.png"), img)
 
             new_images, new_depths, new_cams = [], [], []
@@ -915,20 +1027,21 @@ class G4SplatPipeline:
             all_inp = os.path.join(self.store.see3d_root, "inpainted_images")
             os.makedirs(all_inp, exist_ok=True)
             for k, gid in enumerate(anchor_ids):
-                save_image(
+                save_image_async(
                     os.path.join(all_inp, f"predict_warp_frame{gid:06d}.png"),
                     new_images[k],
                 )
-                save_image(
+                save_image_async(
                     os.path.join(self.store.plane_root,
                                  f"rgb_frame{gid:06d}.png"), new_images[k])
-                save_depth_tiff(
+                save_depth_tiff_async(
                     os.path.join(self.store.plane_root,
                                  f"depth_frame{gid:06d}.tiff"), new_depths[k])
-                np.save(
+                save_npy_async(
                     os.path.join(self.store.plane_root,
                                  f"mono_normal_world_frame{gid:06d}.npy"),
                     st.normals[gid])
+            flush_io()
             self._write_see3d_cameras(stage, new_cams)
 
     def _write_see3d_cameras(self, stage: int, new_cams):
@@ -1185,7 +1298,9 @@ class G4SplatPipeline:
             )
             renders = np.asarray(out["render"])[:n_views]
             for v in range(n_views):
-                save_image(os.path.join(out_dir, f"{v:05d}.png"), renders[v])
+                save_image_async(os.path.join(out_dir, f"{v:05d}.png"),
+                                 renders[v])
+            flush_io()
             return renders
         renders = []
         for v in range(n_views):
@@ -1194,7 +1309,8 @@ class G4SplatPipeline:
                          backend=self.cfg.render_backend)
             img = np.asarray(out["render"])
             renders.append(img)
-            save_image(os.path.join(out_dir, f"{v:05d}.png"), img)
+            save_image_async(os.path.join(out_dir, f"{v:05d}.png"), img)
+        flush_io()
         return np.stack(renders)
 
     def render_all(self, iteration: Optional[int] = None,

@@ -217,6 +217,54 @@ class MASt3RModel:
         out22, out12 = self.infer_pair(img2, img1)
         return out11, out21, out22, out12
 
+    def symmetric_inference_batch(self, imgs1, imgs2, mesh=None,
+                                  max_batch: int = 8):
+        """Symmetric inference over a PAIR BATCH (B, H, W, 3)×2.
+
+        Both orderings ride one doubled batch; with a mesh the pair axis is
+        the `data` axis (params replicated, batch sharded — the reference
+        runs pairs strictly one at a time on one GPU,
+        run_mast3r.py forward_mast3r). Returns a list of B per-pair
+        4-tuples matching `symmetric_inference`.
+        """
+        import jax
+
+        B = imgs1.shape[0]
+        a = jnp.concatenate([imgs1, imgs2], axis=0)   # queries
+        b = jnp.concatenate([imgs2, imgs1], axis=0)   # supports
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            from jax.sharding import PartitionSpec as P
+
+            n_data = mesh.shape["data"]
+            pad = (-a.shape[0]) % n_data
+            if pad:
+                a = jnp.concatenate([a, jnp.repeat(a[-1:], pad, 0)], 0)
+                b = jnp.concatenate([b, jnp.repeat(b[-1:], pad, 0)], 0)
+            go = jax.jit(jax.shard_map(
+                lambda p, x, y: self.net.apply(p, x, y),
+                mesh=mesh, in_specs=(P(), P("data"), P("data")),
+                out_specs=P("data"),
+            ))
+            o1, o2 = go(self.params, a, b)
+        else:
+            chunks = []
+            for s in range(0, a.shape[0], max_batch):
+                chunks.append(self._apply(self.params, a[s:s + max_batch],
+                                          b[s:s + max_batch]))
+            o1 = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0),
+                              *[c[0] for c in chunks])
+            o2 = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0),
+                              *[c[1] for c in chunks])
+
+        def take(tree, i):
+            return jax.tree.map(lambda x: x[i:i + 1], tree)
+
+        return [
+            (take(o1, k), take(o2, k),          # X11, X21 (frame 1)
+             take(o1, B + k), take(o2, B + k))  # X22, X12 (frame 2)
+            for k in range(B)
+        ]
+
 
 # ----------------------------------------------------------- weight loading
 def _lin(state, prefix):

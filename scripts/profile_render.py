@@ -167,26 +167,11 @@ def pack_variants2():
 
 
 
-def build_scene_np(n=200_000, seed=0):
-    """bench.build_scene's distribution, built host-side: only the ops under
-    test compile on the device (non-kernel XLA compiles through the tunnel
-    are wildly slow; the Pallas kernels themselves compile in ~2 s)."""
-    rng = np.random.RandomState(seed)
-    xyz = rng.uniform(-3.0, 3.0, (n, 3)).astype(np.float32)
-    wall = rng.randint(0, 8, n)
-    xyz[wall == 0, 2] = 3.0
-    cols = rng.rand(n, 3).astype(np.float32)
-    scales = np.exp(rng.uniform(-4.5, -3.0, n)).astype(np.float32)
-    quats = rng.randn(n, 4).astype(np.float32)
-    return GaussianScene.from_points(xyz, cols, scales=scales, quats=quats,
-                                     initial_opacity=0.8)
-
-
 def quick():
     """Kernel-focused timings on a host-built scene: binning, pack, and the
     forward kernel in both want_aux modes — one process, comparable numbers."""
     W, H = 768, 576
-    scene = build_scene_np()
+    scene = build_scene()  # bench's scene is host-built (numpy)
     cam = lookat_camera([0.0, 0.0, -6.5], [0, 0, 0], [0, -1, 0],
                         fx=600.0, fy=600.0, width=W, height=H)
     cfg = RenderConfig()

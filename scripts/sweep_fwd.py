@@ -94,6 +94,19 @@ def main():
         timeit(f"pallas kernel want_aux={aux}", kern_fn, comb,
                binning.tile_start, binning.tile_count)
 
+    # --- early-break A/B (same process; flip the module global, re-jit) ---
+    import g4splat_tpu.ops.rasterize_pallas as rp
+    for eb in (False, True):
+        rp.EARLY_BREAK = eb
+        for aux in (True, False):
+            kern_fn = jax.jit(lambda g, ts, tc, a=aux, e=eb:
+                              _rasterize_tiles_pallas(
+                                  g, ts, tc, bg, W, H, cfg.near, cfg.far,
+                                  n_chunks_max, a))
+            timeit(f"pallas kernel early_break={eb} want_aux={aux}",
+                   kern_fn, comb, binning.tile_start, binning.tile_count)
+    rp.EARLY_BREAK = True
+
     # --- full forward -----------------------------------------------------
     for aux in (True, False):
         full_fn = jax.jit(lambda s, a=aux: render(

@@ -112,3 +112,48 @@ class TestColmapIO:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestAsyncImageIO:
+    def test_async_write_flush_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from g4splat_tpu.io.images import (
+            flush_io,
+            load_depth_tiff,
+            load_image,
+            save_depth_tiff_async,
+            save_image_async,
+            save_npy_async,
+        )
+
+        rng = np.random.RandomState(0)
+        img = rng.rand(24, 32, 3).astype(np.float32)
+        dep = (rng.rand(24, 32) * 5).astype(np.float32)
+        arr = rng.randn(7, 3).astype(np.float32)
+        img0, dep0, arr0 = img.copy(), dep.copy(), arr.copy()
+        save_image_async(str(tmp_path / "a.png"), img)
+        save_depth_tiff_async(str(tmp_path / "d.tiff"), dep)
+        save_npy_async(str(tmp_path / "n.npy"), arr)
+        # Mutating the caller's buffers after scheduling must not corrupt
+        # the writes (the async helpers convert/copy synchronously).
+        img[:] = 0
+        dep[:] = 0
+        arr[:] = 0
+        flush_io()
+        np.testing.assert_allclose(load_image(str(tmp_path / "a.png")), img0,
+                                   atol=1.0 / 255)
+        np.testing.assert_allclose(load_depth_tiff(str(tmp_path / "d.tiff")),
+                                   dep0)
+        np.testing.assert_allclose(np.load(str(tmp_path / "n.npy")), arr0)
+
+    def test_flush_reraises_write_error(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        from g4splat_tpu.io.images import flush_io, save_npy_async
+
+        save_npy_async(str(tmp_path / "nodir" / "x.npy"), np.zeros(3))
+        with pytest.raises(Exception):
+            flush_io()
+        flush_io()  # queue drained; second flush is a no-op

@@ -56,6 +56,7 @@ class TestPipelineIntegration:
     def test_posed_pipeline_flows(self, tmp_path):
         cameras, images, depths = synthetic_room()
         cfg = PipelineConfig(
+            vis_grid_resolution=0,  # planar card scene: a faithful grid rejects all eyes
             source_path="synthetic",
             output_path=str(tmp_path),
             train_iterations=25,
@@ -95,6 +96,21 @@ class TestPipelineIntegration:
         n_views_before = len(pipe.state.images)
         pipe.see3d_stage(1)
         assert len(pipe.state.images) > n_views_before  # views grew
+        # Stage artifact zoo (render_novel_views.py:93-315): train-view
+        # snapshot, per-candidate raw-gs files, selected-view depth/points.
+        sdir = os.path.join(pipe.store.see3d_root, "stage1")
+        assert os.path.exists(os.path.join(
+            sdir, "render-train-views", "00000.png"))
+        assert os.path.exists(os.path.join(
+            sdir, "render-train-views", "depth_00000.tiff"))
+        assert os.path.exists(os.path.join(
+            sdir, "raw-gs", "ori_warp_frame000000.png"))
+        assert os.path.exists(os.path.join(
+            sdir, "raw-gs", "alpha_000000.npy"))
+        assert os.path.exists(os.path.join(
+            sdir, "select-gs", "depth_frame000000.tiff"))
+        assert os.path.exists(os.path.join(
+            sdir, "stage1_need_inpaint_views_points.ply"))
         pipe.refine_plane_depths()
         pipe.train_gaussians()
 
@@ -128,6 +144,7 @@ class TestPipelineIntegration:
         cameras, images, depths = synthetic_room()
         cfg = PipelineConfig(
             output_path=str(tmp_path), render_backend="tiled",
+            vis_grid_resolution=0,  # planar card scene: a faithful grid rejects all eyes
             select_inpaint_num=2, none_visible_high=1.0,
             mvd_resolution=None,  # tiny test: run MVD at warp resolution
         )
@@ -175,6 +192,41 @@ class TestPipelineIntegration:
             pipe.store.see3d_root, "stage1", "select-gs-inpainted",
             "predict_warp_frame000000.png"))
 
+    def test_see3d_stage_skips_when_grid_rejects_all(self, tmp_path):
+        """Faithful visibility-grid gating (cam_utils.py:1060-1070): on the
+        planar card scene every orbit eye AND every train-center fallback
+        lies in unobserved space, so stage 1 must skip (views unchanged) —
+        after writing the train-view snapshot and invisible_points.ply
+        (render_novel_views.py:93-122)."""
+        from g4splat_tpu.models.gaussians import GaussianScene
+
+        cameras, images, depths = synthetic_room()
+        cfg = PipelineConfig(
+            output_path=str(tmp_path), render_backend="tiled",
+            vis_grid_resolution=16,
+            select_inpaint_num=2, none_visible_high=1.0,
+        )
+        pipe = G4SplatPipeline(cfg, Priors())
+        pipe.load_inputs(images, cameras)
+        pipe.state.depths = depths.copy()
+        pipe.state.prior_depths = depths.copy()
+        rng = np.random.RandomState(0)
+        pts = np.concatenate(
+            [rng.uniform(-0.8, 0.8, (400, 2)), np.zeros((400, 1))], axis=1
+        ).astype(np.float32)
+        pipe.state.scene = GaussianScene.from_points(
+            pts, rng.rand(400, 3).astype(np.float32),
+            scales=np.full(400, 0.08, np.float32), initial_opacity=0.9)
+
+        n_before = len(pipe.state.images)
+        pipe.see3d_stage(1)
+        assert len(pipe.state.images) == n_before  # stage skipped
+        sdir = os.path.join(pipe.store.see3d_root, "stage1")
+        assert os.path.exists(os.path.join(
+            sdir, "render-train-views", "00000.png"))
+        assert os.path.exists(os.path.join(sdir, "invisible_points.ply"))
+        assert not os.path.exists(os.path.join(sdir, "select-gs"))
+
     def test_images_to_sfm_pipeline_integration(self, tmp_path):
         """VERDICT weak #7: the one seam the reference exercises end-to-end —
         images → run_sfm (tiny MASt3R) → charts → planes → training — must
@@ -206,6 +258,7 @@ class TestPipelineIntegration:
         cfg = PipelineConfig(
             source_path=str(src), output_path=str(tmp_path),
             sfm_config="posed", train_iterations=10,
+            vis_grid_resolution=0,  # planar card scene: a faithful grid rejects all eyes
             render_backend="tiled", alignment_config="fast",
         )
         model = MASt3RModel(TINY_CONFIG, init_size=32)
@@ -246,6 +299,7 @@ class TestPipelineIntegration:
         cameras, images, depths = synthetic_room()
         cfg = PipelineConfig(
             output_path=str(tmp_path), render_backend="tiled",
+            vis_grid_resolution=0,  # planar card scene: a faithful grid rejects all eyes
             select_inpaint_num=1, none_visible_high=1.0,
             mvd_resolution=16, see3d_super_resolution=True,
         )
@@ -333,6 +387,7 @@ class TestPipelineIntegration:
         cfg = PipelineConfig(
             output_path=str(tmp_path), render_backend="tiled",
             sfm_config="posed", train_iterations=20,
+            vis_grid_resolution=0,  # planar card scene: a faithful grid rejects all eyes
         )
         pipe = G4SplatPipeline(cfg, Priors())
         pipe.load_inputs(images, cameras)

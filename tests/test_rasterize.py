@@ -543,3 +543,15 @@ class TestPallasInterpretParity:
         gp = np.asarray(jax.grad(loss)(scene.xyz, "pallas"))
         rel = np.linalg.norm(gp - gt) / (np.linalg.norm(gt) + 1e-12)
         assert rel < 1e-2, rel
+
+
+def test_mark_visible():
+    from g4splat_tpu.ops.rasterize import mark_visible
+
+    cam = simple_camera(w=32, h=32, f=30.0)
+    xyz = np.array([[0.0, 0.0, 1.0],     # in front
+                    [0.0, 0.0, -1.0],    # behind
+                    [0.0, 0.0, 0.1]],    # closer than near threshold
+                   np.float32)
+    vis = np.asarray(mark_visible(cam, jnp.asarray(xyz)))
+    assert vis.tolist() == [True, False, False]

@@ -47,6 +47,33 @@ class TestMASt3RModel:
             np.asarray(out11["pts3d"]), np.asarray(out11b["pts3d"]), atol=1e-6
         )
 
+    def test_symmetric_inference_batch_matches_per_pair(self):
+        """Batched (and mesh-sharded) pair inference must reproduce the
+        sequential per-pair calls exactly — it is the same network on a
+        stacked pair axis."""
+        model = MASt3RModel(TINY_CONFIG, init_size=32)
+        imgs = jax.random.uniform(jax.random.PRNGKey(2), (3, 32, 32, 3))
+        pair_ids = [(0, 1), (1, 2), (0, 2)]
+        i1 = imgs[np.array([i for i, _ in pair_ids])]
+        i2 = imgs[np.array([j for _, j in pair_ids])]
+        variants = {"batched": model.symmetric_inference_batch(i1, i2)}
+        if len(jax.devices()) >= 2:
+            from g4splat_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data=2)
+            variants["sharded"] = model.symmetric_inference_batch(
+                i1, i2, mesh=mesh)
+        for name, outs in variants.items():
+            for (i, j), o in zip(pair_ids, outs):
+                ref = model.symmetric_inference(imgs[i:i + 1], imgs[j:j + 1])
+                for got, want in zip(o, ref):
+                    np.testing.assert_allclose(
+                        np.asarray(got["pts3d"]), np.asarray(want["pts3d"]),
+                        atol=3e-5, err_msg=name)
+                    np.testing.assert_allclose(
+                        np.asarray(got["desc"]), np.asarray(want["desc"]),
+                        atol=3e-5, err_msg=name)
+
     def test_reciprocal_matching_identity(self):
         key = jax.random.PRNGKey(0)
         d = jax.random.normal(key, (8, 10, 16))
