@@ -55,6 +55,22 @@ def render(
     )
     bg = jnp.asarray(config.bg, jnp.float32)
 
+    # Depth-rank binning (see RenderConfig): feed the backend a depth-sorted
+    # copy; per-splat outputs (radii/visibility for the densifier) stay in
+    # the ORIGINAL order via `prep`, and gradients flow back through the
+    # permutation gather's VJP.
+    prep_b = prep
+    rank_mode = False
+    if backend in ("tiled", "pallas") and config.depth_rank_binning:
+        from g4splat_tpu.ops.rasterize_tiled import (
+            depth_rank_bits_fit,
+            presort_splats_by_depth,
+        )
+
+        if depth_rank_bits_fit(prep.depth.shape[0], W, H):
+            prep_b = presort_splats_by_depth(prep)
+            rank_mode = True
+
     if backend == "dense":
         from g4splat_tpu.ops.rasterize_dense import render_dense
 
@@ -74,16 +90,18 @@ def render(
 
         (color, alpha, normal_cam, depth_acc, median_depth, distortion,
          final_T, n_contrib, m1_tot, m2_tot) = (
-            render_tiled(camera, prep, bg, near=config.near, far=config.far,
-                         tile_k=config.tile_k)
+            render_tiled(camera, prep_b, bg, near=config.near,
+                         far=config.far, tile_k=config.tile_k,
+                         rows_are_depth_ranks=rank_mode)
         )
     elif backend == "pallas":
         from g4splat_tpu.ops.rasterize_pallas import render_pallas
 
         (color, alpha, normal_cam, depth_acc, median_depth, distortion,
          final_T, n_contrib, m1_tot, m2_tot) = (
-            render_pallas(camera, prep, bg, near=config.near, far=config.far,
-                          need_aux=need_aux)
+            render_pallas(camera, prep_b, bg, near=config.near,
+                          far=config.far, need_aux=need_aux,
+                          rows_are_depth_ranks=rank_mode)
         )
     else:
         raise ValueError(f"unknown backend {backend!r}")

@@ -57,6 +57,12 @@ class RenderConfig:
     # has no such cap; raise this when using `tiled` as a parity oracle on
     # scenes whose densest tile exceeds it.
     tile_k: int = struct.field(pytree_node=False, default=1024)
+    # Depth-rank binning: presort splats front-to-back once (row index ==
+    # depth rank) so the 16×-duplicated binning sort goes key-only with the
+    # gauss id packed in the key's low bits — half the sorted data and EXACT
+    # depth order (vs 19-bit quantized). Auto-falls back to the quantized
+    # pair sort when tile_bits + ceil_log2(P) > 31 or on the dense backend.
+    depth_rank_binning: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

@@ -513,14 +513,16 @@ def _render_pallas_diff(static, prep: Preprocessed, bg: jnp.ndarray):
     """Differentiable wrapper: Pallas kernels forward, XLA AD of the
     math-identical tiled path backward (recompute; a dedicated back-to-front
     Pallas backward kernel is the planned replacement)."""
-    width, height, near, far = static
-    return _render_pallas_impl(width, height, prep, bg, near, far)
+    width, height, near, far, rank_mode = static
+    return _render_pallas_impl(width, height, prep, bg, near, far,
+                               rows_are_depth_ranks=rank_mode)
 
 
 def _render_pallas_fwd(static, prep, bg):
-    width, height, near, far = static
+    width, height, near, far, rank_mode = static
     outputs, residuals = _render_pallas_impl(
-        width, height, prep, bg, near, far, return_residuals=True
+        width, height, prep, bg, near, far, return_residuals=True,
+        rows_are_depth_ranks=rank_mode,
     )
     return outputs, (prep, bg, residuals)
 
@@ -546,7 +548,7 @@ def _render_pallas_bwd(static, res, cts):
         rasterize_backward_pallas,
     )
 
-    width, height, near, far = static
+    width, height, near, far, _rank_mode = static
     prep, bg, residuals = res
     binning, comb, entry_valid, aux_tail = residuals
     gid = binning.gauss_id
@@ -628,6 +630,7 @@ def render_pallas(
     far: float = FAR_N,
     buf_size: int | None = None,
     need_aux: bool = True,
+    rows_are_depth_ranks: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     if not need_aux:
         # Inference path (render_all / eval / TSDF sweeps / bench): skips the
@@ -636,10 +639,11 @@ def render_pallas(
         # gradients or rend_dist use the default path.
         return _render_pallas_impl(
             camera.width, camera.height, prep, bg, near, far,
-            want_aux=False,
+            want_aux=False, rows_are_depth_ranks=rows_are_depth_ranks,
         )
     return _render_pallas_diff(
-        (camera.width, camera.height, near, far), prep, bg
+        (camera.width, camera.height, near, far, rows_are_depth_ranks),
+        prep, bg,
     )
 
 
@@ -653,10 +657,12 @@ def _render_pallas_impl(
     buf_size: int | None = None,
     return_residuals: bool = False,
     want_aux: bool = True,
+    rows_are_depth_ranks: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
-    binning = bin_splats(prep, width, height, buf_size=buf_size)
+    binning = bin_splats(prep, width, height, buf_size=buf_size,
+                         rows_are_depth_ranks=rows_are_depth_ranks)
     n_tiles = gx * gy
     entry_valid = binning.tile_id < n_tiles
     comb = _pack_entries(prep, binning.gauss_id, entry_valid,

@@ -51,6 +51,7 @@ def bin_splats(
     height: int,
     buf_size: int | None = None,
     max_tiles_per_splat: int = MAX_TILES_PER_SPLAT,
+    rows_are_depth_ranks: bool = False,
 ) -> Binning:
     """Duplicate each splat into its touched tiles and sort by (tile, depth).
 
@@ -62,6 +63,15 @@ def bin_splats(
     (tile-major, near-to-far) and pushes padding to the back. Depth carries
     ~19 bits of relative precision (ties beyond that are compositing-order
     noise well under float rounding).
+
+    ``rows_are_depth_ranks=True``: the caller has ALREADY permuted ``prep``
+    front-to-back (row index == global depth rank), so the key's low bits
+    hold the row index instead of a quantized depth — within a tile, row
+    order IS exact depth order, and the gauss id is recovered from the key
+    itself. The (key, gid) pair sort collapses to a key-only sort moving
+    half the data, and depth ordering becomes exact instead of 19-bit
+    quantized. Requires tile_bits + ceil_log2(P) <= 31 (checked; use
+    `depth_rank_bits_fit`).
     """
     P = prep.depth.shape[0]
     gx = (width + TILE - 1) // TILE
@@ -70,6 +80,8 @@ def bin_splats(
     cap = max_tiles_per_splat
     buf_size = buf_size or BUF_FACTOR * P
     buf_size = min(buf_size, P * cap)
+    if rows_are_depth_ranks:
+        return _bin_splats_rank(prep, gx, gy, n_tiles, cap, buf_size)
 
     center, radius = prep.center, prep.radius
     rmin_x = jnp.clip(((center[:, 0] - radius) / TILE).astype(jnp.int32), 0, gx)
@@ -126,6 +138,96 @@ def bin_splats(
         jnp.int32
     )
     upper = (bounds | ((1 << depth_bits) - 1)).astype(jnp.int32)
+    tile_end = jnp.searchsorted(keys_sorted, upper, side="right").astype(
+        jnp.int32
+    )
+    total = jnp.sum(counts_cap)
+    dropped = jnp.maximum(total - buf_size, 0) + jnp.sum(counts - counts_cap)
+    return Binning(
+        gauss_id=gid_sorted,
+        tile_id=tile_sorted,
+        tile_start=tile_start,
+        tile_count=tile_end - tile_start,
+        n_dropped=dropped.astype(jnp.int32),
+    )
+
+
+def depth_rank_bits_fit(n_splats: int, width: int, height: int) -> bool:
+    """True when (tile_bits + rank_bits) packs into a 31-bit key."""
+    gx = (width + TILE - 1) // TILE
+    gy = (height + TILE - 1) // TILE
+    tile_bits = max(1, (gx * gy).bit_length())
+    rank_bits = max(1, (n_splats - 1).bit_length())
+    return tile_bits + rank_bits <= 31
+
+
+def presort_splats_by_depth(prep: Preprocessed) -> Preprocessed:
+    """Permute every per-splat field front-to-back (invalid splats last).
+
+    After this, row index == global depth rank, enabling
+    ``bin_splats(..., rows_are_depth_ranks=True)``. The permutation is a
+    row gather inside the differentiable graph, so gradients flow back to
+    the original order through the gather's VJP automatically.
+    """
+    import jax
+
+    dkey = jnp.where(prep.valid, prep.depth, jnp.inf)
+    order = jnp.argsort(dkey)  # stable: ties keep original splat order
+    return jax.tree.map(lambda x: x[order], prep)
+
+
+def _bin_splats_rank(prep: Preprocessed, gx: int, gy: int, n_tiles: int,
+                     cap: int, buf_size: int) -> Binning:
+    """Key-only binning sort for depth-rank-ordered rows (see bin_splats)."""
+    P = prep.depth.shape[0]
+    tile_bits = max(1, n_tiles.bit_length())
+    rank_bits = max(1, (P - 1).bit_length())
+    assert tile_bits + rank_bits <= 31, (
+        f"rank keys need {tile_bits}+{rank_bits} bits; use the quantized path"
+    )
+
+    center, radius = prep.center, prep.radius
+    rmin_x = jnp.clip(((center[:, 0] - radius) / TILE).astype(jnp.int32), 0, gx)
+    rmin_y = jnp.clip(((center[:, 1] - radius) / TILE).astype(jnp.int32), 0, gy)
+    rmax_x = jnp.clip(
+        ((center[:, 0] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, gx
+    )
+    rmax_y = jnp.clip(
+        ((center[:, 1] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, gy
+    )
+    rw = rmax_x - rmin_x
+    rh = rmax_y - rmin_y
+    counts = jnp.where(prep.valid, rw * rh, 0)
+    counts_cap = jnp.minimum(counts, cap)
+
+    slots = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    safe_rw = jnp.maximum(rw, 1)[:, None]
+    tx = rmin_x[:, None] + slots % safe_rw
+    ty = rmin_y[:, None] + slots // safe_rw
+    tid = ty * gx + tx                              # (P, cap)
+    slot_valid = slots < counts_cap[:, None]
+    SENTINEL = jnp.int32(jnp.iinfo(jnp.int32).max)
+    rank = jnp.arange(P, dtype=jnp.int32)[:, None]
+    keys = jnp.where(
+        slot_valid, (tid << rank_bits) | rank, SENTINEL
+    ).reshape(-1)
+
+    keys_sorted = jax.lax.sort(keys)[:buf_size]
+    rank_mask = (1 << rank_bits) - 1
+    # Sentinel keys decode to an out-of-range id; clamp so downstream
+    # feature gathers stay in bounds (their entries are masked by tile
+    # ranges anyway).
+    gid_sorted = jnp.minimum(keys_sorted & rank_mask, P - 1)
+    tile_sorted = jnp.where(
+        keys_sorted == SENTINEL, n_tiles, keys_sorted >> rank_bits
+    ).astype(jnp.int32)
+
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    bounds = tile_range << rank_bits
+    tile_start = jnp.searchsorted(keys_sorted, bounds, side="left").astype(
+        jnp.int32
+    )
+    upper = (bounds | rank_mask).astype(jnp.int32)
     tile_end = jnp.searchsorted(keys_sorted, upper, side="right").astype(
         jnp.int32
     )
@@ -259,8 +361,10 @@ def render_tiled_wh(
     tile_k: int = TILE_K,
     tile_batch: int = 16,
     buf_size: int | None = None,
+    rows_are_depth_ranks: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
-    binning = bin_splats(prep, width, height, buf_size=buf_size)
+    binning = bin_splats(prep, width, height, buf_size=buf_size,
+                         rows_are_depth_ranks=rows_are_depth_ranks)
     return _render_tiles(
         prep, binning, bg, width, height, near, far, tile_k, tile_batch,
     )
@@ -275,8 +379,9 @@ def render_tiled(
     tile_k: int = TILE_K,
     tile_batch: int = 16,
     buf_size: int | None = None,
+    rows_are_depth_ranks: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     return render_tiled_wh(
         camera.width, camera.height, prep, bg, near, far, tile_k, tile_batch,
-        buf_size,
+        buf_size, rows_are_depth_ranks,
     )

@@ -53,6 +53,19 @@ def main():
     binning = jax.jit(lambda p: bin_splats(p, W, H))(prep)
     n_tiles = ((W + 15) // 16) * ((H + 15) // 16)
 
+    # --- depth-rank binning (presort once, key-only 3.2M sort) ------------
+    from g4splat_tpu.ops.rasterize_tiled import presort_splats_by_depth
+
+    prep_sorted = timeit("presort_splats_by_depth",
+                         jax.jit(presort_splats_by_depth), prep)
+    timeit("bin_splats rank-keys (key-only)",
+           jax.jit(lambda p: bin_splats(p, W, H, rows_are_depth_ranks=True)),
+           prep_sorted)
+    timeit("presort + rank bin (combined)",
+           jax.jit(lambda p: bin_splats(presort_splats_by_depth(p), W, H,
+                                        rows_are_depth_ranks=True)),
+           prep)
+
     # --- pack variants ----------------------------------------------------
     ev = binning.tile_id < n_tiles
     timeit("pack col-gather (current)",
@@ -112,6 +125,11 @@ def main():
         full_fn = jax.jit(lambda s, a=aux: render(
             cam, s, backend="pallas", need_aux=a)["render"])
         timeit(f"full forward need_aux={aux}", full_fn, scene)
+    for aux in (True, False):
+        full_fn = jax.jit(lambda s, a=aux: render(
+            cam, s, backend="pallas", need_aux=a,
+            config=RenderConfig(depth_rank_binning=True))["render"])
+        timeit(f"full forward rank-bin need_aux={aux}", full_fn, scene)
 
 
 def sort_variants():

@@ -555,3 +555,76 @@ def test_mark_visible():
                    np.float32)
     vis = np.asarray(mark_visible(cam, jnp.asarray(xyz)))
     assert vis.tolist() == [True, False, False]
+
+
+class TestDepthRankBinning:
+    """RenderConfig.depth_rank_binning: presorted rows + key-only binning
+    sort must reproduce the quantized pair-sort path (exact depth order is a
+    refinement of 19-bit-quantized order; differences are ordering noise on
+    quantization ties, far below these bounds)."""
+
+    def _scene(self, n=3000, seed=7):
+        key = jax.random.PRNGKey(seed)
+        return random_scene(key, n)
+
+    def test_forward_matches_tiled_default(self):
+        scene = self._scene()
+        cam = simple_camera(w=96, h=64, f=70.0)
+        base = render(cam, scene, backend="tiled")
+        rank = render(cam, scene, backend="tiled",
+                      config=RenderConfig(depth_rank_binning=True))
+        for k in ("render", "rend_alpha", "surf_depth", "rend_dist",
+                  "final_T"):
+            np.testing.assert_allclose(
+                np.asarray(base[k]), np.asarray(rank[k]), atol=2e-4,
+                err_msg=k)
+        # Per-splat outputs must stay in ORIGINAL splat order.
+        np.testing.assert_array_equal(np.asarray(base["radii"]),
+                                      np.asarray(rank["radii"]))
+
+    def test_forward_matches_dense_oracle(self):
+        scene = self._scene()
+        cam = simple_camera(w=96, h=64, f=70.0)
+        dense = render(cam, scene, backend="dense")
+        rank = render(cam, scene, backend="tiled",
+                      config=RenderConfig(depth_rank_binning=True))
+        np.testing.assert_allclose(np.asarray(dense["render"]),
+                                   np.asarray(rank["render"]), atol=2e-4)
+
+    def test_gradients_match(self):
+        scene = self._scene(n=800)
+        cam = simple_camera(w=64, h=48, f=60.0)
+
+        def loss(xyz, cfg):
+            s = scene.replace(xyz=xyz)
+            out = render(cam, s, backend="tiled", config=cfg)
+            return (jnp.mean(out["render"] ** 2)
+                    + 0.1 * jnp.mean(out["rend_alpha"]))
+
+        g0 = jax.grad(loss)(scene.xyz, RenderConfig())
+        g1 = jax.grad(loss)(scene.xyz, RenderConfig(depth_rank_binning=True))
+        rel = (np.linalg.norm(np.asarray(g1 - g0))
+               / (np.linalg.norm(np.asarray(g0)) + 1e-12))
+        assert rel < 1e-3, rel
+
+    def test_pallas_interpret_rank_mode(self):
+        scene = self._scene(n=1200)
+        cam = simple_camera(w=64, h=48, f=60.0)
+        base = render(cam, scene, backend="tiled")
+        out = render(cam, scene, backend="pallas",
+                     config=RenderConfig(depth_rank_binning=True))
+        np.testing.assert_allclose(np.asarray(base["render"]),
+                                   np.asarray(out["render"]), atol=5e-3)
+
+    def test_bits_fallback(self):
+        """When rank bits don't fit the key, the quantized path is used
+        silently (identical API)."""
+        from g4splat_tpu.ops.rasterize_tiled import depth_rank_bits_fit
+
+        assert depth_rank_bits_fit(200_000, 768, 576)
+        assert not depth_rank_bits_fit(2_000_000, 3840, 2160)
+        scene = self._scene(n=500)
+        cam = simple_camera(w=64, h=48, f=60.0)
+        out = render(cam, scene, backend="tiled",
+                     config=RenderConfig(depth_rank_binning=True))
+        assert np.isfinite(np.asarray(out["render"])).all()
