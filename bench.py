@@ -52,39 +52,47 @@ def main():
         fx=600.0, fy=600.0, width=W, height=H,
     )
 
-    backend_used = None
-    for backend in ("pallas", "tiled"):
+    from g4splat_tpu.ops.rasterize import RenderConfig
+
+    # Inference benchmark: need_aux=False selects the slim forward kernel
+    # (identical "render" output; skips the distortion-moment scan and
+    # n_contrib bookkeeping that only gradients consume). Other backends get
+    # the same effect from XLA dead-code elimination of the unused outputs.
+    # Both binning variants are parity-tested (tests/test_rasterize.py::
+    # TestDepthRankBinning); whichever is faster on this chip wins.
+    candidates = [
+        ("pallas", "", RenderConfig()),
+        ("pallas", "_rankbin", RenderConfig(depth_rank_binning=True)),
+        ("tiled", "", RenderConfig()),
+    ]
+    best = None  # (fps, backend, variant)
+    for backend, variant, config in candidates:
+        if best is not None and backend != best[1]:
+            break  # pallas ran; skip the fallback backend
         try:
-            # Inference benchmark: need_aux=False selects the slim forward
-            # kernel (identical "render" output; skips the distortion-moment
-            # scan and n_contrib bookkeeping that only gradients consume).
-            # Other backends get the same effect from XLA dead-code
-            # elimination of the unused outputs.
-            f = jax.jit(lambda s: render(cam, s, backend=backend,
-                                         need_aux=False)["render"])
-            img = f(scene)
+            f = jax.jit(lambda s, b=backend, c=config: render(
+                cam, s, backend=b, need_aux=False, config=c)["render"])
+            f(scene).block_until_ready()
+            n_iter = 20
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                img = f(scene)
             img.block_until_ready()
-            backend_used = backend
-            break
+            fps = n_iter / (time.perf_counter() - t0)
+            if best is None or fps > best[0]:
+                best = (fps, backend, variant)
         except Exception as e:  # noqa: BLE001
-            print(f"# backend {backend} failed: {type(e).__name__}: {e}",
+            print(f"# {backend}{variant} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
-    if backend_used is None:
+    if best is None:
         print(json.dumps({"metric": "render_fps_768p_200k", "value": 0.0,
                           "unit": "frames/s", "vs_baseline": 0.0,
                           "error": "no backend ran"}))
         return
 
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        img = f(scene)
-    img.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iter
-    fps = 1.0 / dt
-
+    fps, backend_used, variant = best
     print(json.dumps({
-        "metric": f"render_fps_768p_200k_{backend_used}",
+        "metric": f"render_fps_768p_200k_{backend_used}{variant}",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 100.0, 3),
