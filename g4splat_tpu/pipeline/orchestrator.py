@@ -197,6 +197,22 @@ class G4SplatPipeline:
                 print(f"[pipeline] {name}: {self.timings[name]:.1f}s")
         return _T()
 
+    def _prior_mesh(self, n_items: int):
+        """Data mesh for per-view prior-model inference (DA2/SAM batches
+        shard their view axis over it); None on a single device."""
+        n_dev = len(jax.devices())
+        if n_dev < 2 or n_items < 2:
+            return None
+        from g4splat_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(n_data=min(n_dev, n_items))
+
+    def _mono_disparity(self, images: np.ndarray) -> np.ndarray:
+        """Batched DA2 disparity for a same-size view stack (one ViT
+        dispatch, view axis sharded over the device mesh when present)."""
+        return self.priors.depth_model.infer_images(
+            images, mesh=self._prior_mesh(len(images)))
+
     # ---------------------------------------------------------------- stages
     def load_inputs(self, images: np.ndarray, cameras: Optional[Camera] = None,
                     test_images: Optional[np.ndarray] = None,
@@ -351,17 +367,14 @@ class G4SplatPipeline:
         st = self.state
         V, H, W = st.images.shape[:3]
         extent = max(cameras_spatial_extent(st.cameras), 1e-3)
-        depths = []
-        for v in range(V):
-            if self.priors.depth_model is not None:
-                disp = np.asarray(
-                    self.priors.depth_model.infer_image(st.images[v]))
-                d = 1.0 / np.maximum(disp, 1e-6)
-                d = d * (extent / max(float(np.median(d)), 1e-9))
-            else:
-                d = np.full((H, W), extent, np.float32)
-            depths.append(d.astype(np.float32))
-        st.prior_depths = np.stack(depths)
+        if self.priors.depth_model is not None:
+            disp = self._mono_disparity(st.images)          # (V, H, W)
+            d = 1.0 / np.maximum(disp, 1e-6)
+            med = np.maximum(np.median(d.reshape(V, -1), axis=1), 1e-9)
+            depths = d * (extent / med)[:, None, None]
+        else:
+            depths = np.full((V, H, W), extent, np.float32)
+        st.prior_depths = depths.astype(np.float32)
         st.depths = st.prior_depths.copy()
         res = SfMResult(
             w2c=np.asarray(st.cameras.w2c),
@@ -487,12 +500,13 @@ class G4SplatPipeline:
         with self._timed("align_charts"):
             V, H, W = st.images.shape[:3]
             init_depths = []
+            disps = (self._mono_disparity(st.images)
+                     if self.priors.depth_model is not None else None)
             for v in range(V):
                 ref = st.prior_depths[v]
-                if self.priors.depth_model is not None:
-                    disp = self.priors.depth_model.infer_image(st.images[v])
+                if disps is not None:
                     aligned, _, _ = depth_linear_align(
-                        jnp.asarray(disp), jnp.asarray(ref),
+                        jnp.asarray(disps[v]), jnp.asarray(ref),
                         jnp.asarray(ref > 0),
                     )
                     init_depths.append(np.asarray(aligned))
@@ -968,16 +982,18 @@ class G4SplatPipeline:
                         inp_dir, f"SR_predict_warp_frame{k:06d}.png"), img)
 
             new_images, new_depths, new_cams = [], [], []
+            # Depth lift (P12): mono depth aligned to the rendered warp
+            # depth inside the visible mask, merged (see3d_dn_util.py).
+            # One batched DA2 dispatch for all inpainted views.
+            disps_inp = (self._mono_disparity(np.stack(inpainted_all))
+                         if self.priors.depth_model is not None else None)
             for k, vid in enumerate(sel):
                 mask = sel_masks[k]
                 cam = jax.tree.map(lambda x: x[vid], cand)
                 inpainted = inpainted_all[k]
-                # Depth lift (P12): mono depth aligned to the rendered warp
-                # depth inside the visible mask, merged (see3d_dn_util.py).
-                if self.priors.depth_model is not None:
-                    disp = self.priors.depth_model.infer_image(inpainted)
+                if disps_inp is not None:
                     lifted, _, _ = depth_linear_align(
-                        jnp.asarray(disp), jnp.asarray(depths_r[vid]),
+                        jnp.asarray(disps_inp[k]), jnp.asarray(depths_r[vid]),
                         jnp.asarray(mask),
                     )
                     depth = np.where(mask, depths_r[vid], np.asarray(lifted))
@@ -1099,25 +1115,29 @@ class G4SplatPipeline:
         with self._timed("dense_view_stage"):
             n = dense_cameras.w2c.shape[0]
             rcfg = RenderConfig(depth_ratio=0.5)
-            imgs, depths = [], []
+            imgs, rds, alphas = [], [], []
             for i in range(n):
                 cam = jax.tree.map(lambda x: x[i], dense_cameras)
                 out = render(cam, st.scene, config=rcfg,
                              backend=cfg.render_backend)
-                img = np.asarray(out["render"])
-                rd = np.asarray(out["surf_depth"])
-                alpha = np.asarray(out["rend_alpha"])
-                if self.priors.depth_model is not None:
-                    disp = self.priors.depth_model.infer_image(img)
+                imgs.append(np.asarray(out["render"]))
+                rds.append(np.asarray(out["surf_depth"]))
+                alphas.append(np.asarray(out["rend_alpha"]))
+            imgs = np.stack(imgs)
+            depths = np.stack(rds)
+            if self.priors.depth_model is not None:
+                # One batched DA2 dispatch over the whole dense-view sweep
+                # (the per-view loop paid n ViT-L launches).
+                disps = self._mono_disparity(imgs)
+                for i in range(n):
+                    vis = alphas[i] > 0.5
                     lifted, _, _ = depth_linear_align(
-                        jnp.asarray(disp), jnp.asarray(rd),
-                        jnp.asarray(alpha > 0.5),
+                        jnp.asarray(disps[i]), jnp.asarray(depths[i]),
+                        jnp.asarray(vis),
                     )
-                    rd = np.where(alpha > 0.5, rd, np.asarray(lifted))
-                imgs.append(img)
-                depths.append(rd)
-            st.images = np.stack(imgs)
-            st.depths = np.stack(depths)
+                    depths[i] = np.where(vis, depths[i], np.asarray(lifted))
+            st.images = imgs
+            st.depths = depths
             st.prior_depths = st.depths.copy()
             st.cameras = dense_cameras
             st.input_view_num = n

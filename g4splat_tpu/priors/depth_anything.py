@@ -107,6 +107,54 @@ class DepthAnything:
         x = (images - _MEAN) / _STD
         return self._apply(self.params, x)
 
+    def infer_images(self, images: np.ndarray, mesh=None,
+                     max_batch: int = 16) -> np.ndarray:
+        """(V, H, W, 3) uint8/float [0,1] → (V, H, W) disparity.
+
+        Batched `infer_image`: one resize + ONE ViT forward over the whole
+        view stack instead of V dispatches (the per-view loop pays V ViT-L
+        launches; indoor scenes share one resolution, so the batch is free).
+        With `mesh`, the view axis shards over the mesh's `data` axis
+        (SURVEY §2.5: per-view data-parallel inference for the prior
+        models) — params replicate, XLA splits the batch over ICI.
+        """
+        imgs = np.asarray(images, np.float32)
+        if imgs.max() > 1.5:
+            imgs = imgs / 255.0
+        V, H, W = imgs.shape[:3]
+        if V > max_batch:
+            # Fixed-size slabs (tail padded by repetition) bound activation
+            # memory for dense-view sweeps AND keep one compiled shape.
+            outs = []
+            for i in range(0, V, max_batch):
+                sl = imgs[i : i + max_batch]
+                if len(sl) < max_batch:
+                    sl = np.concatenate(
+                        [sl, np.tile(sl[-1:],
+                                     (max_batch - len(sl), 1, 1, 1))])
+                outs.append(self.infer_images(sl, mesh=mesh,
+                                              max_batch=max_batch))
+            return np.concatenate(outs)[:V]
+        nh, nw = self._target_size(H, W, self.input_size)
+        x = jax.image.resize(jnp.asarray(imgs), (V, nh, nw, 3), "bilinear")
+        x = (x - _MEAN) / _STD
+        pad = 0
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            pad = (-V) % n_data
+            if pad:
+                x = jnp.concatenate([x, jnp.tile(x[-1:], (pad, 1, 1, 1))])
+            x = jax.device_put(
+                x,
+                jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec("data")),
+            )
+        disp = self._apply(self.params, x)
+        if pad:
+            disp = disp[:V]
+        disp = resize_bilinear_ac(disp[..., None], (H, W))[..., 0]
+        return np.asarray(disp)
+
 
 def convert_torch_checkpoint(state: Dict, encoder: str = "vitl") -> Dict:
     """Official DepthAnythingV2 torch checkpoint → flax params."""

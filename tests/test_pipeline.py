@@ -378,6 +378,31 @@ class TestPipelineIntegration:
         assert tr == [1] and te == [0]
         assert load_view_split(str(tmp_path), 9) is None
 
+    def test_posed_bootstrap_batched_mono_prior(self, tmp_path):
+        """Posed bootstrap with a real (tiny) DA2 attached: the batched
+        view-stack disparity path (one ViT dispatch, view axis sharded over
+        the 8-device virtual mesh) must produce per-view median-scaled
+        depths exactly like the reference's per-view loop."""
+        from g4splat_tpu.priors.depth_anything import DepthAnything
+
+        cameras, images, _ = synthetic_room()
+        cfg = PipelineConfig(
+            output_path=str(tmp_path), render_backend="tiled",
+            sfm_config="posed",
+        )
+        pipe = G4SplatPipeline(
+            cfg, Priors(depth_model=DepthAnything("vits", input_size=56)))
+        pipe.load_inputs(images, cameras)
+        pipe.run_sfm()  # posed bootstrap (no MASt3R): DA2 prior depths
+        d = pipe.state.prior_depths
+        assert d.shape == images.shape[:3]
+        assert np.isfinite(d).all() and (d > 0).all()
+        # Per-view median equals the camera extent (the bootstrap's scaling).
+        from g4splat_tpu.pipeline.mesh_extraction import cameras_spatial_extent
+        extent = max(cameras_spatial_extent(pipe.state.cameras), 1e-3)
+        med = np.median(d.reshape(d.shape[0], -1), axis=1)
+        np.testing.assert_allclose(med, extent, rtol=1e-3)
+
     def test_resume_from_artifacts(self, tmp_path):
         """Stage re-entry (SURVEY §5.3): a fresh pipeline object rebuilds
         its state from the artifact store and reports which stages are

@@ -125,6 +125,35 @@ class TestDPT:
         assert np.all(disp >= 0)
         assert np.isfinite(disp).all()
 
+    def test_infer_images_matches_per_view(self):
+        # Batched path == per-image path (same resize/normalize/head math;
+        # the ViT has no cross-batch coupling).
+        model = DepthAnything(encoder="vits", input_size=56)
+        imgs = np.random.RandomState(1).rand(3, 60, 80, 3).astype(np.float32)
+        batched = model.infer_images(imgs)
+        assert batched.shape == (3, 60, 80)
+        for v in range(3):
+            single = model.infer_image(imgs[v])
+            np.testing.assert_allclose(batched[v], single, atol=1e-5)
+        # Slab chunking (dense-view memory bound) is value-identical.
+        slabbed = model.infer_images(imgs, max_batch=2)
+        np.testing.assert_allclose(slabbed, batched, atol=1e-5)
+
+    def test_infer_images_sharded_mesh(self):
+        # View axis sharded over the (virtual) device mesh; values match the
+        # unsharded batch. V=3 with 2+ devices exercises the pad path.
+        import jax as _jax
+
+        from g4splat_tpu.parallel.mesh import make_mesh
+
+        if len(_jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        model = DepthAnything(encoder="vits", input_size=56)
+        imgs = np.random.RandomState(2).rand(3, 60, 80, 3).astype(np.float32)
+        base = model.infer_images(imgs)
+        sharded = model.infer_images(imgs, mesh=make_mesh(n_data=2))
+        np.testing.assert_allclose(sharded, base, atol=1e-5)
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
