@@ -619,9 +619,17 @@ class G4SplatPipeline:
                 PlaneExcavatorConfig(),
                 mask_generator=self.priors.sam_generator,
             )
+            # Batch path: one (mesh-sharded) SAM encoder dispatch over the
+            # whole view stack; prompting/NMS stay per view on host.
+            gen = self.priors.sam_generator
+            pre = None
+            if gen is not None and hasattr(gen, "batch"):
+                pre = gen.batch(st.images,
+                                mesh=self._prior_mesh(len(st.images)))
             st.plane_masks = []
             for v in range(len(st.images)):
-                out = exc(st.images[v], st.normals[v])
+                out = exc(st.images[v], st.normals[v],
+                          seg_masks=None if pre is None else pre[v])
                 st.plane_masks.append(out["seg_mask"])
                 np.save(
                     os.path.join(self.store.plane_root,

@@ -166,7 +166,11 @@ class PlaneExcavator:
         self.config = config
         self.mask_generator = mask_generator
 
-    def __call__(self, image: np.ndarray, normals: np.ndarray):
+    def __call__(self, image: np.ndarray, normals: np.ndarray,
+                 seg_masks=None):
+        """``seg_masks``: optional precomputed SAM proposals for this view
+        (the orchestrator batch-encodes the whole view stack through the
+        generator's ``.batch`` and passes each view's masks here)."""
         H, W = normals.shape[:2]
         cfg = self.config
         min_size = H * W * cfg.min_size_ratio
@@ -175,8 +179,9 @@ class PlaneExcavator:
             cfg.n_normal_clusters, cfg.min_size_ratio,
         )
 
-        if self.mask_generator is not None:
+        if seg_masks is None and self.mask_generator is not None:
             seg_masks = self.mask_generator(image)
+        if seg_masks is not None:
             seg_masks = sorted(seg_masks, key=lambda m: m.sum())
         else:
             seg_masks = [np.ones((H, W), bool)]

@@ -28,7 +28,7 @@ stability ≥ 0.85 + mask-NMS 0.8. `sam_mask_generator` adapts it to the
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import flax.linen as nn
 
@@ -533,6 +533,37 @@ class SAMPredictor:
             )
         )
 
+    def encode_images(self, images: np.ndarray, mesh=None,
+                      max_batch: int = 8) -> jnp.ndarray:
+        """Batch-encode a (V, H, W, 3) view stack → (V, …) embeddings.
+
+        One ViT dispatch per slab instead of V (the encoder is SAM's heavy
+        half); with `mesh`, the view axis shards over the mesh's `data`
+        axis like DepthAnything.infer_images."""
+        V = len(images)
+        S = self.cfg.img_size
+        x = jax.image.resize(
+            jnp.asarray(np.asarray(images, np.float32)), (V, S, S, 3),
+            "bilinear")
+        outs = []
+        for i in range(0, V, max_batch):
+            sl = x[i : i + max_batch]
+            pad = 0
+            if mesh is not None:
+                n_data = mesh.shape["data"]
+                pad = (-sl.shape[0]) % n_data
+                if pad:
+                    sl = jnp.concatenate(
+                        [sl, jnp.tile(sl[-1:], (pad, 1, 1, 1))])
+                sl = jax.device_put(
+                    sl,
+                    jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec("data")),
+                )
+            emb = self._encode(self.params, sl)
+            outs.append(emb[: emb.shape[0] - pad] if pad else emb)
+        return jnp.concatenate(outs)
+
     def generate_masks(
         self,
         image: np.ndarray,                 # (H, W, 3) in [0, 1]
@@ -542,13 +573,15 @@ class SAMPredictor:
         select_smallest: bool = True,
         seed: int = 0,
         prompt_batch: int = 64,
+        emb: Optional[jnp.ndarray] = None,  # precomputed (1, …) embedding
     ) -> List[np.ndarray]:
         """Reference prompting (mask_generator.py:30-43,193): random point
         prompts, smallest stable mask per prompt, stability + NMS filters."""
         H, W = image.shape[:2]
         S = self.cfg.img_size
-        img = jax.image.resize(jnp.asarray(image), (S, S, 3), "bilinear")
-        emb = self._encode(self.params, img[None])
+        if emb is None:
+            img = jax.image.resize(jnp.asarray(image), (S, S, 3), "bilinear")
+            emb = self._encode(self.params, img[None])
 
         rng = np.random.default_rng(seed)
         pts = rng.random((num_prompts, 2)).astype(np.float32)  # normalized xy
@@ -594,7 +627,21 @@ class SAMPredictor:
 
 
 def sam_mask_generator(predictor: SAMPredictor, **kw) -> Callable:
-    """Adapter for PlaneExcavator(mask_generator=…)."""
+    """Adapter for PlaneExcavator(mask_generator=…).
+
+    The returned callable also carries a ``.batch(images, mesh=None)``
+    method: encoder runs once over the whole view stack (mesh-sharded when
+    given), prompting/NMS per view — the orchestrator uses it when present.
+    """
     def gen(image: np.ndarray) -> List[np.ndarray]:
         return predictor.generate_masks(image, **kw)
+
+    def gen_batch(images: np.ndarray, mesh=None) -> List[List[np.ndarray]]:
+        embs = predictor.encode_images(images, mesh=mesh)
+        return [
+            predictor.generate_masks(images[v], emb=embs[v : v + 1], **kw)
+            for v in range(len(images))
+        ]
+
+    gen.batch = gen_batch
     return gen

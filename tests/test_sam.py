@@ -67,6 +67,30 @@ class TestPromptLogic:
             assert m.shape == (48, 48)
             assert m.dtype == bool
 
+    def test_batch_generator_matches_per_view(self):
+        # .batch (stack-encoded, optionally mesh-sharded) must reproduce the
+        # per-view generator exactly: same embeddings → same masks.
+        import jax as _jax
+
+        from g4splat_tpu.parallel.mesh import make_mesh
+
+        pred = SAMPredictor(TINY_SAM)
+        gen = sam_mask_generator(pred, num_prompts=8, stability_thresh=0.0,
+                                 prompt_batch=8)
+        imgs = np.random.RandomState(3).rand(3, 48, 48, 3).astype(np.float32)
+        per_view = [gen(imgs[v]) for v in range(3)]
+        batched = gen.batch(imgs)
+        assert len(batched) == 3
+        for a, b in zip(per_view, batched):
+            assert len(a) == len(b)
+            for ma, mb in zip(a, b):
+                np.testing.assert_array_equal(ma, mb)
+        if len(_jax.devices()) >= 2:
+            sharded = gen.batch(imgs, mesh=make_mesh(n_data=2))
+            for a, b in zip(per_view, sharded):
+                for ma, mb in zip(a, b):
+                    np.testing.assert_array_equal(ma, mb)
+
     def test_plane_excavator_integration(self):
         pred = SAMPredictor(TINY_SAM)
         gen = sam_mask_generator(pred, num_prompts=8, stability_thresh=0.0,
