@@ -92,7 +92,8 @@ def render(
          final_T, n_contrib, m1_tot, m2_tot) = (
             render_tiled(camera, prep_b, bg, near=config.near,
                          far=config.far, tile_k=config.tile_k,
-                         rows_are_depth_ranks=rank_mode)
+                         rows_are_depth_ranks=rank_mode,
+                         max_tiles_per_splat=config.max_tiles_per_splat)
         )
     elif backend == "pallas":
         from g4splat_tpu.ops.rasterize_pallas import render_pallas
@@ -101,7 +102,8 @@ def render(
          final_T, n_contrib, m1_tot, m2_tot) = (
             render_pallas(camera, prep_b, bg, near=config.near,
                           far=config.far, need_aux=need_aux,
-                          rows_are_depth_ranks=rank_mode)
+                          rows_are_depth_ranks=rank_mode,
+                          max_tiles_per_splat=config.max_tiles_per_splat)
         )
     else:
         raise ValueError(f"unknown backend {backend!r}")

@@ -63,6 +63,12 @@ class RenderConfig:
     # depth order (vs 19-bit quantized). Auto-falls back to the quantized
     # pair sort when tile_bits + ceil_log2(P) > 31 or on the dense backend.
     depth_rank_binning: bool = struct.field(pytree_node=False, default=False)
+    # Per-splat candidate-tile cap for binning (the sorted key count is
+    # P × cap). 16 covers any splat the radius-rect culling admits; scenes
+    # whose splats all fit in ≤8 tiles can halve the binning sort with
+    # cap=8 — EXACT iff the binning's n_dropped stays 0 (bench.py checks
+    # this before self-selecting the variant).
+    max_tiles_per_splat: int = struct.field(pytree_node=False, default=16)
 
 
 @struct.dataclass

@@ -513,16 +513,17 @@ def _render_pallas_diff(static, prep: Preprocessed, bg: jnp.ndarray):
     """Differentiable wrapper: Pallas kernels forward, XLA AD of the
     math-identical tiled path backward (recompute; a dedicated back-to-front
     Pallas backward kernel is the planned replacement)."""
-    width, height, near, far, rank_mode = static
+    width, height, near, far, rank_mode, cap = static
     return _render_pallas_impl(width, height, prep, bg, near, far,
-                               rows_are_depth_ranks=rank_mode)
+                               rows_are_depth_ranks=rank_mode,
+                               max_tiles_per_splat=cap)
 
 
 def _render_pallas_fwd(static, prep, bg):
-    width, height, near, far, rank_mode = static
+    width, height, near, far, rank_mode, cap = static
     outputs, residuals = _render_pallas_impl(
         width, height, prep, bg, near, far, return_residuals=True,
-        rows_are_depth_ranks=rank_mode,
+        rows_are_depth_ranks=rank_mode, max_tiles_per_splat=cap,
     )
     return outputs, (prep, bg, residuals)
 
@@ -548,7 +549,7 @@ def _render_pallas_bwd(static, res, cts):
         rasterize_backward_pallas,
     )
 
-    width, height, near, far, _rank_mode = static
+    width, height, near, far, _rank_mode, _cap = static
     prep, bg, residuals = res
     binning, comb, entry_valid, aux_tail = residuals
     gid = binning.gauss_id
@@ -631,6 +632,7 @@ def render_pallas(
     buf_size: int | None = None,
     need_aux: bool = True,
     rows_are_depth_ranks: bool = False,
+    max_tiles_per_splat: int = 16,
 ) -> Tuple[jnp.ndarray, ...]:
     if not need_aux:
         # Inference path (render_all / eval / TSDF sweeps / bench): skips the
@@ -640,9 +642,11 @@ def render_pallas(
         return _render_pallas_impl(
             camera.width, camera.height, prep, bg, near, far,
             want_aux=False, rows_are_depth_ranks=rows_are_depth_ranks,
+            max_tiles_per_splat=max_tiles_per_splat,
         )
     return _render_pallas_diff(
-        (camera.width, camera.height, near, far, rows_are_depth_ranks),
+        (camera.width, camera.height, near, far, rows_are_depth_ranks,
+         max_tiles_per_splat),
         prep, bg,
     )
 
@@ -658,10 +662,12 @@ def _render_pallas_impl(
     return_residuals: bool = False,
     want_aux: bool = True,
     rows_are_depth_ranks: bool = False,
+    max_tiles_per_splat: int = 16,
 ) -> Tuple[jnp.ndarray, ...]:
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
     binning = bin_splats(prep, width, height, buf_size=buf_size,
+                         max_tiles_per_splat=max_tiles_per_splat,
                          rows_are_depth_ranks=rows_are_depth_ranks)
     n_tiles = gx * gy
     entry_valid = binning.tile_id < n_tiles

@@ -362,8 +362,10 @@ def render_tiled_wh(
     tile_batch: int = 16,
     buf_size: int | None = None,
     rows_are_depth_ranks: bool = False,
+    max_tiles_per_splat: int = MAX_TILES_PER_SPLAT,
 ) -> Tuple[jnp.ndarray, ...]:
     binning = bin_splats(prep, width, height, buf_size=buf_size,
+                         max_tiles_per_splat=max_tiles_per_splat,
                          rows_are_depth_ranks=rows_are_depth_ranks)
     return _render_tiles(
         prep, binning, bg, width, height, near, far, tile_k, tile_batch,
@@ -380,8 +382,9 @@ def render_tiled(
     tile_batch: int = 16,
     buf_size: int | None = None,
     rows_are_depth_ranks: bool = False,
+    max_tiles_per_splat: int = MAX_TILES_PER_SPLAT,
 ) -> Tuple[jnp.ndarray, ...]:
     return render_tiled_wh(
         camera.width, camera.height, prep, bg, near, far, tile_k, tile_batch,
-        buf_size, rows_are_depth_ranks,
+        buf_size, rows_are_depth_ranks, max_tiles_per_splat,
     )

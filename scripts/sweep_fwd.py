@@ -130,6 +130,13 @@ def main():
             cam, s, backend="pallas", need_aux=a,
             config=RenderConfig(depth_rank_binning=True))["render"])
         timeit(f"full forward rank-bin need_aux={aux}", full_fn, scene)
+    # cap=8 variants (exact on this scene iff bin drops == 0 — printed above).
+    for rank in (False, True):
+        full_fn = jax.jit(lambda s, r=rank: render(
+            cam, s, backend="pallas", need_aux=False,
+            config=RenderConfig(depth_rank_binning=r,
+                                max_tiles_per_splat=8))["render"])
+        timeit(f"full forward cap8 rank={rank} need_aux=False", full_fn, scene)
 
 
 def sort_variants():

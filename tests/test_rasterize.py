@@ -628,3 +628,56 @@ class TestDepthRankBinning:
         out = render(cam, scene, backend="tiled",
                      config=RenderConfig(depth_rank_binning=True))
         assert np.isfinite(np.asarray(out["render"])).all()
+
+
+class TestTileCap:
+    """RenderConfig.max_tiles_per_splat: a halved candidate cap must be
+    byte-identical whenever the binning drop counter reports zero truncation
+    (the gate bench.py checks before self-selecting the cap-8 variant)."""
+
+    def test_cap8_exact_when_no_drops(self):
+        scene = random_scene(jax.random.PRNGKey(11), 2500)
+        # Shrink radii so no splat's rect exceeds 8 tiles (the gate below
+        # proves it for this exact scene).
+        scene = scene.replace(scaling_raw=scene.scaling_raw - 1.0)
+        cam = simple_camera(w=96, h=64, f=70.0)
+        from g4splat_tpu.ops.rasterize_common import preprocess
+        from g4splat_tpu.ops.rasterize_tiled import bin_splats
+
+        prep = preprocess(
+            cam, xyz=scene.xyz, scaling=scene.scaling(),
+            rotation_raw=scene.rotation_raw, opacity=scene.opacity(),
+            features=scene.features(), sh_degree=scene.active_sh_degree,
+            config=RenderConfig())
+        assert int(bin_splats(prep, 96, 64,
+                              max_tiles_per_splat=8).n_dropped) == 0
+        base = render(cam, scene, backend="tiled")
+        cap8 = render(cam, scene, backend="tiled",
+                      config=RenderConfig(max_tiles_per_splat=8))
+        for k in ("render", "rend_alpha", "surf_depth", "rend_dist"):
+            np.testing.assert_array_equal(
+                np.asarray(base[k]), np.asarray(cap8[k]), err_msg=k)
+        cap8p = render(cam, scene, backend="pallas",
+                       config=RenderConfig(max_tiles_per_splat=8))
+        np.testing.assert_allclose(np.asarray(base["render"]),
+                                   np.asarray(cap8p["render"]), atol=5e-3)
+
+    def test_drop_counter_reports_truncation(self):
+        """Big splats touching >cap tiles must be counted, not silently cut."""
+        key = jax.random.PRNGKey(3)
+        scene = random_scene(key, 400, spread=0.4)
+        # Inflate scales so radii span many tiles.
+        scene = scene.replace(scaling_raw=scene.scaling_raw + 2.5)
+        cam = simple_camera(w=128, h=96, f=90.0)
+        from g4splat_tpu.ops.rasterize_common import preprocess
+        from g4splat_tpu.ops.rasterize_tiled import bin_splats
+
+        prep = preprocess(
+            cam, xyz=scene.xyz, scaling=scene.scaling(),
+            rotation_raw=scene.rotation_raw, opacity=scene.opacity(),
+            features=scene.features(), sh_degree=scene.active_sh_degree,
+            config=RenderConfig())
+        d4 = int(bin_splats(prep, 128, 96, max_tiles_per_splat=4).n_dropped)
+        d64 = int(bin_splats(prep, 128, 96, max_tiles_per_splat=64,
+                             buf_size=400 * 64).n_dropped)
+        assert d4 > d64
