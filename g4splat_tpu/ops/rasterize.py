@@ -93,7 +93,8 @@ def render(
             render_tiled(camera, prep_b, bg, near=config.near,
                          far=config.far, tile_k=config.tile_k,
                          rows_are_depth_ranks=rank_mode,
-                         max_tiles_per_splat=config.max_tiles_per_splat)
+                         max_tiles_per_splat=config.max_tiles_per_splat,
+                         ellipse_prune=config.tile_ellipse_prune)
         )
     elif backend == "pallas":
         from g4splat_tpu.ops.rasterize_pallas import render_pallas
@@ -103,7 +104,8 @@ def render(
             render_pallas(camera, prep_b, bg, near=config.near,
                           far=config.far, need_aux=need_aux,
                           rows_are_depth_ranks=rank_mode,
-                          max_tiles_per_splat=config.max_tiles_per_splat)
+                          max_tiles_per_splat=config.max_tiles_per_splat,
+                          ellipse_prune=config.tile_ellipse_prune)
         )
     else:
         raise ValueError(f"unknown backend {backend!r}")

@@ -69,6 +69,11 @@ class RenderConfig:
     # cap=8 — EXACT iff the binning's n_dropped stays 0 (bench.py checks
     # this before self-selecting the variant).
     max_tiles_per_splat: int = struct.field(pytree_node=False, default=16)
+    # Exact ellipse-level tile pruning in binning (see
+    # rasterize_tiled._ellipse_keep): drop candidate tiles where no pixel
+    # can reach alpha ≥ 1/255. Output-identical on every backend; False
+    # keeps the raw CUDA-style rect duplication (ablation).
+    tile_ellipse_prune: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass

@@ -513,17 +513,19 @@ def _render_pallas_diff(static, prep: Preprocessed, bg: jnp.ndarray):
     """Differentiable wrapper: Pallas kernels forward, XLA AD of the
     math-identical tiled path backward (recompute; a dedicated back-to-front
     Pallas backward kernel is the planned replacement)."""
-    width, height, near, far, rank_mode, cap = static
+    width, height, near, far, rank_mode, cap, eprune = static
     return _render_pallas_impl(width, height, prep, bg, near, far,
                                rows_are_depth_ranks=rank_mode,
-                               max_tiles_per_splat=cap)
+                               max_tiles_per_splat=cap,
+                               ellipse_prune=eprune)
 
 
 def _render_pallas_fwd(static, prep, bg):
-    width, height, near, far, rank_mode, cap = static
+    width, height, near, far, rank_mode, cap, eprune = static
     outputs, residuals = _render_pallas_impl(
         width, height, prep, bg, near, far, return_residuals=True,
         rows_are_depth_ranks=rank_mode, max_tiles_per_splat=cap,
+        ellipse_prune=eprune,
     )
     return outputs, (prep, bg, residuals)
 
@@ -549,7 +551,7 @@ def _render_pallas_bwd(static, res, cts):
         rasterize_backward_pallas,
     )
 
-    width, height, near, far, _rank_mode, _cap = static
+    width, height, near, far, _rank_mode, _cap, _eprune = static
     prep, bg, residuals = res
     binning, comb, entry_valid, aux_tail = residuals
     gid = binning.gauss_id
@@ -633,6 +635,7 @@ def render_pallas(
     need_aux: bool = True,
     rows_are_depth_ranks: bool = False,
     max_tiles_per_splat: int = 16,
+    ellipse_prune: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     if not need_aux:
         # Inference path (render_all / eval / TSDF sweeps / bench): skips the
@@ -643,10 +646,11 @@ def render_pallas(
             camera.width, camera.height, prep, bg, near, far,
             want_aux=False, rows_are_depth_ranks=rows_are_depth_ranks,
             max_tiles_per_splat=max_tiles_per_splat,
+            ellipse_prune=ellipse_prune,
         )
     return _render_pallas_diff(
         (camera.width, camera.height, near, far, rows_are_depth_ranks,
-         max_tiles_per_splat),
+         max_tiles_per_splat, ellipse_prune),
         prep, bg,
     )
 
@@ -663,12 +667,14 @@ def _render_pallas_impl(
     want_aux: bool = True,
     rows_are_depth_ranks: bool = False,
     max_tiles_per_splat: int = 16,
+    ellipse_prune: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
     binning = bin_splats(prep, width, height, buf_size=buf_size,
                          max_tiles_per_splat=max_tiles_per_splat,
-                         rows_are_depth_ranks=rows_are_depth_ranks)
+                         rows_are_depth_ranks=rows_are_depth_ranks,
+                         ellipse_prune=ellipse_prune)
     n_tiles = gx * gy
     entry_valid = binning.tile_id < n_tiles
     comb = _pack_entries(prep, binning.gauss_id, entry_valid,

@@ -45,6 +45,112 @@ class Binning(NamedTuple):
     n_dropped: jnp.ndarray    # () int32 — entries lost to caps
 
 
+def _ellipse_keep(prep: Preprocessed, tx: jnp.ndarray, ty: jnp.ndarray):
+    """Exact tile-level contribution test for candidate (splat, tile) pairs.
+
+    The rect binning duplicates a splat into every tile of its dual-conic
+    AABB (getRect, rasterizer_impl.cu); corner tiles often cannot produce a
+    single pixel with alpha ≥ 1/255, yet they cost kernel chunks in every
+    tile they land in. This test keeps a candidate iff some point of the
+    tile's pixel rect can reach alpha ≥ ALPHA_EPS through either path the
+    kernel evaluates:
+
+    - 2D low-pass: rho2d = FILTER_INV_SQUARE · d², min over the rect via
+      center clamping.
+    - 3D ray-splat: rho3d = (p0² + p1²)/p2² with p_i AFFINE in pixel coords
+      (the ray-splat planes' x·y terms cancel — see the kernel), so
+      {rho3d ≤ τ} is the quadratic q = p0² + p1² − τ·p2² ≤ 0. min(q) over a
+      rect is attained at a corner, an edge stationary point, or the
+      interior stationary point (PD Hessian only) — nine closed-form
+      evaluations.
+
+    τ = 2·ln(opacity/ALPHA_EPS) (+0.05 f32-rounding margin); the continuous
+    rect contains the pixel lattice, so keeping is conservative and pruning
+    is EXACT against the dense oracle (pruned tiles contribute nothing
+    there either — the 1/255 cutoff kills every pixel).
+
+    Returns a bool (P, cap) keep mask.
+    """
+    from g4splat_tpu.ops.rasterize_common import (
+        ALPHA_EPS as _EPS,
+        FILTER_INV_SQUARE as _FINV,
+    )
+
+    T = prep.T
+    Tu0, Tu1, Tu2 = T[:, 0, 0], T[:, 0, 1], T[:, 0, 2]
+    Tv0, Tv1, Tv2 = T[:, 1, 0], T[:, 1, 1], T[:, 1, 2]
+    Tw0, Tw1, Tw2 = T[:, 2, 0], T[:, 2, 1], T[:, 2, 2]
+    A0 = Tw2 * Tv1 - Tw1 * Tv2
+    B0 = Tu2 * Tw1 - Tu1 * Tw2
+    C0 = Tu1 * Tv2 - Tu2 * Tv1
+    A1 = Tw0 * Tv2 - Tw2 * Tv0
+    B1 = Tu0 * Tw2 - Tu2 * Tw0
+    C1 = Tu2 * Tv0 - Tu0 * Tv2
+    A2 = Tw1 * Tv0 - Tw0 * Tv1
+    B2 = Tu1 * Tw0 - Tu0 * Tw1
+    C2 = Tu0 * Tv1 - Tu1 * Tv0
+    # Per-splat normalization keeps q's 4th-power-of-T terms in f32 range
+    # (q is a ratio test — uniform scaling of all nine coefficients
+    # preserves its sign).
+    m = jnp.maximum(
+        jnp.max(jnp.abs(jnp.stack(
+            [A0, B0, C0, A1, B1, C1, A2, B2, C2], axis=1)), axis=1),
+        1e-30,
+    )
+    A0, B0, C0 = A0 / m, B0 / m, C0 / m
+    A1, B1, C1 = A1 / m, B1 / m, C1 / m
+    A2, B2, C2 = A2 / m, B2 / m, C2 / m
+
+    opa = jnp.maximum(prep.opacity, 1e-12)
+    tau = 2.0 * jnp.log(opa / _EPS) + 0.05        # (P,)
+    t_ = tau[:, None]
+
+    Hxx = (A0 * A0 + A1 * A1)[:, None] - t_ * (A2 * A2)[:, None]
+    Hxy = (A0 * B0 + A1 * B1)[:, None] - t_ * (A2 * B2)[:, None]
+    Hyy = (B0 * B0 + B1 * B1)[:, None] - t_ * (B2 * B2)[:, None]
+    Gx = (A0 * C0 + A1 * C1)[:, None] - t_ * (A2 * C2)[:, None]
+    Gy = (B0 * C0 + B1 * C1)[:, None] - t_ * (B2 * C2)[:, None]
+    K = (C0 * C0 + C1 * C1)[:, None] - t_ * (C2 * C2)[:, None]
+
+    x0 = (tx * TILE).astype(jnp.float32)
+    x1 = x0 + (TILE - 1)
+    y0 = (ty * TILE).astype(jnp.float32)
+    y1 = y0 + (TILE - 1)
+
+    def q(x, y):
+        return (Hxx * x * x + 2.0 * (Hxy * x * y + Gx * x + Gy * y)
+                + Hyy * y * y + K)
+
+    qmin = jnp.minimum(jnp.minimum(q(x0, y0), q(x0, y1)),
+                       jnp.minimum(q(x1, y0), q(x1, y1)))
+    # Edge stationary points (clamped into the edge; when the 1D leading
+    # coefficient is ≤ 0 the edge min sits at a corner already covered).
+    sHyy = jnp.where(Hyy > 0, Hyy, 1.0)
+    for xe in (x0, x1):
+        ye = jnp.clip(-(Hxy * xe + Gy) / sHyy, y0, y1)
+        qmin = jnp.minimum(qmin, jnp.where(Hyy > 0, q(xe, ye), jnp.inf))
+    sHxx = jnp.where(Hxx > 0, Hxx, 1.0)
+    for ye in (y0, y1):
+        xe = jnp.clip(-(Hxy * ye + Gx) / sHxx, x0, x1)
+        qmin = jnp.minimum(qmin, jnp.where(Hxx > 0, q(xe, ye), jnp.inf))
+    # Interior stationary point — a minimum only for a PD Hessian.
+    det = Hxx * Hyy - Hxy * Hxy
+    pd = (Hxx > 0) & (det > 0)
+    sdet = jnp.where(pd, det, 1.0)
+    xi = jnp.clip((Hxy * Gy - Hyy * Gx) / sdet, x0, x1)
+    yi = jnp.clip((Hxy * Gx - Hxx * Gy) / sdet, y0, y1)
+    qmin = jnp.minimum(qmin, jnp.where(pd, q(xi, yi), jnp.inf))
+    keep3d = qmin <= 0.0
+
+    cx = prep.center[:, 0:1]
+    cy = prep.center[:, 1:2]
+    dx = jnp.clip(cx, x0, x1) - cx
+    dy = jnp.clip(cy, y0, y1) - cy
+    keep2d = _FINV * (dx * dx + dy * dy) <= t_
+
+    return (keep3d | keep2d) & (prep.opacity >= _EPS)[:, None]
+
+
 def bin_splats(
     prep: Preprocessed,
     width: int,
@@ -52,6 +158,7 @@ def bin_splats(
     buf_size: int | None = None,
     max_tiles_per_splat: int = MAX_TILES_PER_SPLAT,
     rows_are_depth_ranks: bool = False,
+    ellipse_prune: bool = True,
 ) -> Binning:
     """Duplicate each splat into its touched tiles and sort by (tile, depth).
 
@@ -81,7 +188,8 @@ def bin_splats(
     buf_size = buf_size or BUF_FACTOR * P
     buf_size = min(buf_size, P * cap)
     if rows_are_depth_ranks:
-        return _bin_splats_rank(prep, gx, gy, n_tiles, cap, buf_size)
+        return _bin_splats_rank(prep, gx, gy, n_tiles, cap, buf_size,
+                                ellipse_prune)
 
     center, radius = prep.center, prep.radius
     rmin_x = jnp.clip(((center[:, 0] - radius) / TILE).astype(jnp.int32), 0, gx)
@@ -117,6 +225,8 @@ def bin_splats(
     ty = rmin_y[:, None] + slots // safe_rw
     tid = ty * gx + tx                              # (P, cap)
     slot_valid = slots < counts_cap[:, None]
+    if ellipse_prune:
+        slot_valid = slot_valid & _ellipse_keep(prep, tx, ty)
     SENTINEL = jnp.int32(jnp.iinfo(jnp.int32).max)
     keys = jnp.where(
         slot_valid, (tid << depth_bits) | q[:, None], SENTINEL
@@ -141,7 +251,10 @@ def bin_splats(
     tile_end = jnp.searchsorted(keys_sorted, upper, side="right").astype(
         jnp.int32
     )
-    total = jnp.sum(counts_cap)
+    # Buffer-overflow term counts entries actually competing for the buffer
+    # (post-prune); the cap-truncation term stays rect-based (a truncated
+    # slot's prune verdict is never computed — conservative overcount).
+    total = jnp.sum(slot_valid)
     dropped = jnp.maximum(total - buf_size, 0) + jnp.sum(counts - counts_cap)
     return Binning(
         gauss_id=gid_sorted,
@@ -177,7 +290,8 @@ def presort_splats_by_depth(prep: Preprocessed) -> Preprocessed:
 
 
 def _bin_splats_rank(prep: Preprocessed, gx: int, gy: int, n_tiles: int,
-                     cap: int, buf_size: int) -> Binning:
+                     cap: int, buf_size: int,
+                     ellipse_prune: bool = True) -> Binning:
     """Key-only binning sort for depth-rank-ordered rows (see bin_splats)."""
     P = prep.depth.shape[0]
     tile_bits = max(1, n_tiles.bit_length())
@@ -206,6 +320,8 @@ def _bin_splats_rank(prep: Preprocessed, gx: int, gy: int, n_tiles: int,
     ty = rmin_y[:, None] + slots // safe_rw
     tid = ty * gx + tx                              # (P, cap)
     slot_valid = slots < counts_cap[:, None]
+    if ellipse_prune:
+        slot_valid = slot_valid & _ellipse_keep(prep, tx, ty)
     SENTINEL = jnp.int32(jnp.iinfo(jnp.int32).max)
     rank = jnp.arange(P, dtype=jnp.int32)[:, None]
     keys = jnp.where(
@@ -231,7 +347,7 @@ def _bin_splats_rank(prep: Preprocessed, gx: int, gy: int, n_tiles: int,
     tile_end = jnp.searchsorted(keys_sorted, upper, side="right").astype(
         jnp.int32
     )
-    total = jnp.sum(counts_cap)
+    total = jnp.sum(slot_valid)
     dropped = jnp.maximum(total - buf_size, 0) + jnp.sum(counts - counts_cap)
     return Binning(
         gauss_id=gid_sorted,
@@ -363,10 +479,12 @@ def render_tiled_wh(
     buf_size: int | None = None,
     rows_are_depth_ranks: bool = False,
     max_tiles_per_splat: int = MAX_TILES_PER_SPLAT,
+    ellipse_prune: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     binning = bin_splats(prep, width, height, buf_size=buf_size,
                          max_tiles_per_splat=max_tiles_per_splat,
-                         rows_are_depth_ranks=rows_are_depth_ranks)
+                         rows_are_depth_ranks=rows_are_depth_ranks,
+                         ellipse_prune=ellipse_prune)
     return _render_tiles(
         prep, binning, bg, width, height, near, far, tile_k, tile_batch,
     )
@@ -383,8 +501,9 @@ def render_tiled(
     buf_size: int | None = None,
     rows_are_depth_ranks: bool = False,
     max_tiles_per_splat: int = MAX_TILES_PER_SPLAT,
+    ellipse_prune: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     return render_tiled_wh(
         camera.width, camera.height, prep, bg, near, far, tile_k, tile_batch,
-        buf_size, rows_are_depth_ranks, max_tiles_per_splat,
+        buf_size, rows_are_depth_ranks, max_tiles_per_splat, ellipse_prune,
     )

@@ -45,11 +45,12 @@ def main():
 
     # --- binning variants -------------------------------------------------
     for cap in (16, 8):
-        bin_fn = jax.jit(lambda p, c=cap: bin_splats(
-            p, W, H, max_tiles_per_splat=c))
-        b = timeit(f"bin_splats cap={cap}", bin_fn, prep)
-        print(f"    dropped={int(b.n_dropped)} "
-              f"real_entries={int(jnp.sum(b.tile_count))}", flush=True)
+        for ep in (False, True):
+            bin_fn = jax.jit(lambda p, c=cap, e=ep: bin_splats(
+                p, W, H, max_tiles_per_splat=c, ellipse_prune=e))
+            b = timeit(f"bin_splats cap={cap} prune={ep}", bin_fn, prep)
+            print(f"    dropped={int(b.n_dropped)} "
+                  f"real_entries={int(jnp.sum(b.tile_count))}", flush=True)
     binning = jax.jit(lambda p: bin_splats(p, W, H))(prep)
     n_tiles = ((W + 15) // 16) * ((H + 15) // 16)
 
@@ -137,6 +138,12 @@ def main():
             config=RenderConfig(depth_rank_binning=r,
                                 max_tiles_per_splat=8))["render"])
         timeit(f"full forward cap8 rank={rank} need_aux=False", full_fn, scene)
+    # Ellipse-prune A/B (default ON above; here the raw-rect ablation).
+    for aux in (True, False):
+        full_fn = jax.jit(lambda s, a=aux: render(
+            cam, s, backend="pallas", need_aux=a,
+            config=RenderConfig(tile_ellipse_prune=False))["render"])
+        timeit(f"full forward NOPRUNE need_aux={aux}", full_fn, scene)
 
 
 def sort_variants():

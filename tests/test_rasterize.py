@@ -407,10 +407,17 @@ class TestCapacityPaths:
             rotation_raw=scene.rotation_raw, opacity=scene.opacity(),
             features=scene.features(), sh_degree=0, config=RenderConfig(),
         )
-        binning = bin_splats(prep, cam.width, cam.height, buf_size=64)
+        binning = bin_splats(prep, cam.width, cam.height, buf_size=64,
+                             ellipse_prune=False)
         n_entries = int(jnp.sum(binning.tile_count))
         assert n_entries == MAX_TILES_PER_SPLAT  # capped, not the full cover
         assert int(binning.n_dropped) > 0
+        # With ellipse pruning (default) the cap still truncates the rect
+        # first; pruning can only remove zero-contribution slots from the
+        # kept prefix.
+        pruned = bin_splats(prep, cam.width, cam.height, buf_size=64)
+        assert 0 < int(jnp.sum(pruned.tile_count)) <= MAX_TILES_PER_SPLAT
+        assert int(pruned.n_dropped) > 0
         out = render(cam, scene, backend="tiled")
         assert np.isfinite(np.asarray(out["render"])).all()
 
@@ -681,3 +688,125 @@ class TestTileCap:
         d64 = int(bin_splats(prep, 128, 96, max_tiles_per_splat=64,
                              buf_size=400 * 64).n_dropped)
         assert d4 > d64
+
+
+class TestEllipsePrune:
+    """RenderConfig.tile_ellipse_prune: exact ellipse-level tile culling.
+
+    Pruned candidate tiles provably contain no pixel with alpha >= 1/255,
+    so every output map must match the unpruned binning (up to f32
+    chunk-regrouping noise) and the dense oracle."""
+
+    def _scene(self, n=3000, seed=21):
+        key = jax.random.PRNGKey(seed)
+        scene = random_scene(key, n)
+        # Elongate: per-axis scale jitter (up to ~e^1.5 aspect) exercises
+        # rotated-ellipse corners, the case rect binning is worst at; a low
+        # opacity stripe exercises the tau-shrunken support.
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed + 1))
+        # Jitter kept moderate so the UNPRUNED baseline stays under the 4P
+        # entry buffer (overflow would make the baseline the lossy one —
+        # guarded in test_tiled_outputs_match_unpruned).
+        jit = jax.random.uniform(k1, scene.scaling_raw.shape,
+                                 minval=-0.6, maxval=0.45)
+        stripe = (jnp.arange(scene.opacity_raw.shape[0]) % 4 == 0).reshape(
+            (-1,) + (1,) * (scene.opacity_raw.ndim - 1))
+        opa = jnp.where(stripe, scene.opacity_raw - 4.0, scene.opacity_raw)
+        return scene.replace(scaling_raw=scene.scaling_raw + jit,
+                             opacity_raw=opa)
+
+    def test_prune_reduces_entries(self):
+        scene = self._scene()
+        cam = simple_camera(w=128, h=96, f=110.0)
+        from g4splat_tpu.ops.rasterize_common import preprocess
+        from g4splat_tpu.ops.rasterize_tiled import bin_splats
+
+        prep = preprocess(
+            cam, xyz=scene.xyz, scaling=scene.scaling(),
+            rotation_raw=scene.rotation_raw, opacity=scene.opacity(),
+            features=scene.features(), sh_degree=scene.active_sh_degree,
+            config=RenderConfig())
+        n_raw = int(jnp.sum(bin_splats(prep, 128, 96,
+                                       ellipse_prune=False).tile_count))
+        n_pruned = int(jnp.sum(bin_splats(prep, 128, 96,
+                                          ellipse_prune=True).tile_count))
+        assert n_pruned < n_raw, (n_pruned, n_raw)
+
+    def test_tiled_outputs_match_unpruned(self):
+        scene = self._scene()
+        cam = simple_camera(w=128, h=96, f=110.0)
+        # Equality only holds when the unpruned baseline loses nothing to
+        # buffer overflow (drops beyond the rect-truncation floor shared by
+        # both paths).
+        from g4splat_tpu.ops.rasterize_common import preprocess
+        from g4splat_tpu.ops.rasterize_tiled import bin_splats
+
+        prep = preprocess(
+            cam, xyz=scene.xyz, scaling=scene.scaling(),
+            rotation_raw=scene.rotation_raw, opacity=scene.opacity(),
+            features=scene.features(), sh_degree=scene.active_sh_degree,
+            config=RenderConfig())
+        P = prep.depth.shape[0]
+        d_buf = int(bin_splats(prep, 128, 96, ellipse_prune=False).n_dropped)
+        d_nobuf = int(bin_splats(prep, 128, 96, buf_size=P * 16,
+                                 ellipse_prune=False).n_dropped)
+        assert d_buf == d_nobuf, f"baseline overflows: {d_buf} vs {d_nobuf}"
+        base = render(cam, scene, backend="tiled",
+                      config=RenderConfig(tile_ellipse_prune=False))
+        pruned = render(cam, scene, backend="tiled",
+                        config=RenderConfig(tile_ellipse_prune=True))
+        for k in ("render", "rend_alpha", "surf_depth", "rend_dist",
+                  "depth_median", "final_T"):
+            # atol covers f32 regrouping noise: removing zero-alpha entries
+            # shifts chunk boundaries, so log-space partial sums re-associate.
+            np.testing.assert_allclose(
+                np.asarray(base[k]), np.asarray(pruned[k]), atol=5e-5,
+                err_msg=k)
+
+    def test_matches_dense_oracle(self):
+        # cap=32: this scene's elongated splats overflow the default cap-16
+        # rect truncation, a pre-existing lossy knob the dense oracle does
+        # not have (verified identical with ellipse_prune off); atol covers
+        # depth-quantization tie reordering on overlapping splats.
+        scene = self._scene()
+        cam = simple_camera(w=128, h=96, f=110.0)
+        dense = render(cam, scene, backend="dense")
+        for rank in (False, True):
+            out = render(cam, scene, backend="tiled",
+                         config=RenderConfig(tile_ellipse_prune=True,
+                                             max_tiles_per_splat=32,
+                                             depth_rank_binning=rank))
+            np.testing.assert_allclose(
+                np.asarray(dense["render"]), np.asarray(out["render"]),
+                atol=5e-4, err_msg=f"rank={rank}")
+            np.testing.assert_allclose(
+                np.asarray(dense["rend_alpha"]),
+                np.asarray(out["rend_alpha"]), atol=5e-4,
+                err_msg=f"alpha rank={rank}")
+
+    def test_pallas_interpret_matches(self):
+        scene = self._scene(n=1200)
+        cam = simple_camera(w=64, h=48, f=60.0)
+        base = render(cam, scene, backend="tiled",
+                      config=RenderConfig(tile_ellipse_prune=False))
+        out = render(cam, scene, backend="pallas",
+                     config=RenderConfig(tile_ellipse_prune=True))
+        np.testing.assert_allclose(np.asarray(base["render"]),
+                                   np.asarray(out["render"]), atol=5e-3)
+
+    def test_gradients_match_unpruned(self):
+        scene = self._scene(n=700)
+        cam = simple_camera(w=64, h=48, f=60.0)
+
+        def loss(xyz, prune):
+            s = scene.replace(xyz=xyz)
+            out = render(cam, s, backend="tiled",
+                         config=RenderConfig(tile_ellipse_prune=prune))
+            return (jnp.sum(out["render"] ** 2)
+                    + jnp.sum(out["rend_dist"]) * 0.1
+                    + jnp.sum(out["rend_alpha"]))
+
+        g0 = jax.grad(lambda x: loss(x, False))(scene.xyz)
+        g1 = jax.grad(lambda x: loss(x, True))(scene.xyz)
+        np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                                   rtol=1e-4, atol=1e-6)
