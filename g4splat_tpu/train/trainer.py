@@ -87,6 +87,9 @@ class TrainConfig:
     # Misc
     spatial_lr_scale: float = struct.field(pytree_node=False, default=1.0)
     backend: str = struct.field(pytree_node=False, default="tiled")
+    # Depth-rank binning for the training render (see
+    # RenderConfig.depth_rank_binning): presort once, key-only binning sort.
+    depth_rank_binning: bool = struct.field(pytree_node=False, default=False)
     sh_increase_interval: int = struct.field(pytree_node=False, default=1000)
     # Capacity-growth ceiling when densification overflows the static buffer
     # (reference hard cap: train_with_refine_depth.py:147, 10M splats).
@@ -165,7 +168,8 @@ def compute_losses(
     out = render(
         camera,
         scene,
-        config=RenderConfig(bg=jnp.zeros(3), depth_ratio=cfg.depth_ratio),
+        config=RenderConfig(bg=jnp.zeros(3), depth_ratio=cfg.depth_ratio,
+                            depth_rank_binning=cfg.depth_rank_binning),
         center_offset=center_offset,
         backend=cfg.backend,
     )

@@ -1,0 +1,106 @@
+"""In-process A/B sweep of the FULL jitted train step at bench scale.
+
+Times `trainer.train_step` (render -> 8 losses -> backward -> optax -> stat
+accumulation) at 200k splats / 768x576 on one chip under binning variants,
+plus a render-grad-only ablation of the ellipse prune. All variants measured
+within ONE process (cross-process timings drift +-1.5 ms on the tunnel).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sys
+sys.path.insert(0, ".")
+
+from bench import build_scene
+from g4splat_tpu.core.cameras import lookat_camera
+from g4splat_tpu.ops.rasterize import render
+from g4splat_tpu.ops.rasterize_common import RenderConfig
+from g4splat_tpu.train.densify import DensifyState
+from g4splat_tpu.train.trainer import (
+    TrainConfig,
+    make_optimizer,
+    scene_params,
+    train_step,
+)
+
+
+def timeit(name, f, *args, n=10):
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:44s} {dt*1e3:8.2f} ms", flush=True)
+    return out
+
+
+def main():
+    W, H = 768, 576
+    scene = build_scene()
+    cam = lookat_camera([0.0, 0.0, -6.5], [0, 0, 0], [0, -1, 0],
+                        fx=600.0, fy=600.0, width=W, height=H)
+    rng = np.random.RandomState(0)
+    view = {
+        "image": jnp.asarray(rng.rand(H, W, 3), jnp.float32),
+        "prior_depth": jnp.asarray(rng.rand(H, W) + 3.0, jnp.float32),
+        "prior_normal": jnp.asarray(rng.randn(H, W, 3), jnp.float32),
+        "prior_curv": jnp.zeros((H, W)),
+        "confidence": jnp.ones((H, W)),
+        "color_weight": jnp.asarray(1.0),
+        "scale_factor": jnp.asarray(10.0),
+    }
+    key = jax.random.PRNGKey(0)
+    it = jnp.asarray(2000, jnp.int32)
+
+    variants = [
+        ("default", TrainConfig(backend="pallas")),
+        ("rank-bin", TrainConfig(backend="pallas", depth_rank_binning=True)),
+        ("no-depth-order", TrainConfig(backend="pallas",
+                                       use_depth_order=False)),
+        ("global-depth-order", TrainConfig(backend="pallas",
+                                           depth_order_sample="global")),
+    ]
+    for tag, cfg in variants:
+        # train_step donates its state args — give each variant its own copy
+        # (and keep the pristine `scene` for the ablation below).
+        scene_v = jax.tree.map(jnp.copy, scene)
+        optimizer = make_optimizer(cfg)
+        opt_state = optimizer.init(scene_params(scene_v))
+        dstate = DensifyState.zero(scene_v.capacity)
+
+        def run(s, o, d, c=cfg, op=optimizer):
+            s, o, d, m = train_step(s, o, d, cam, view, it, key, c, op)
+            return s, o, d
+
+        state = run(scene_v, opt_state, dstate)
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        n = 10
+        for _ in range(n):
+            state = run(*state)
+        jax.block_until_ready(state)
+        print(f"train_step {tag:32s} {(time.perf_counter()-t0)/n*1e3:8.2f} ms",
+              flush=True)
+
+    # Ellipse-prune ablation on the render+grad path alone (the train loss
+    # closure pins RenderConfig, so ablate through a direct loss).
+    for ep in (True, False):
+        cfgr = RenderConfig(tile_ellipse_prune=ep)
+
+        def loss(xyz, e=ep, c=cfgr):
+            out = render(cam, scene.replace(xyz=xyz), backend="pallas",
+                         config=c)
+            return (jnp.mean(out["render"]) + jnp.mean(out["rend_dist"])
+                    + jnp.mean(out["surf_depth"]))
+
+        g = jax.jit(jax.grad(loss))
+        timeit(f"render fwd+bwd prune={ep}", g, scene.xyz)
+
+
+if __name__ == "__main__":
+    main()
