@@ -88,10 +88,13 @@ def render(
     elif backend == "tiled":
         from g4splat_tpu.ops.rasterize_tiled import render_tiled
 
+        buf = (None if config.buf_factor == 4
+               else config.buf_factor * prep.depth.shape[0])
         (color, alpha, normal_cam, depth_acc, median_depth, distortion,
          final_T, n_contrib, m1_tot, m2_tot) = (
             render_tiled(camera, prep_b, bg, near=config.near,
                          far=config.far, tile_k=config.tile_k,
+                         buf_size=buf,
                          rows_are_depth_ranks=rank_mode,
                          max_tiles_per_splat=config.max_tiles_per_splat,
                          ellipse_prune=config.tile_ellipse_prune)
@@ -99,10 +102,13 @@ def render(
     elif backend == "pallas":
         from g4splat_tpu.ops.rasterize_pallas import render_pallas
 
+        buf = (None if config.buf_factor == 4
+               else config.buf_factor * prep.depth.shape[0])
         (color, alpha, normal_cam, depth_acc, median_depth, distortion,
          final_T, n_contrib, m1_tot, m2_tot) = (
             render_pallas(camera, prep_b, bg, near=config.near,
                           far=config.far, need_aux=need_aux,
+                          buf_size=buf,
                           rows_are_depth_ranks=rank_mode,
                           max_tiles_per_splat=config.max_tiles_per_splat,
                           ellipse_prune=config.tile_ellipse_prune)

@@ -74,6 +74,13 @@ class RenderConfig:
     # can reach alpha ≥ 1/255. Output-identical on every backend; False
     # keeps the raw CUDA-style rect duplication (ablation).
     tile_ellipse_prune: bool = struct.field(pytree_node=False, default=True)
+    # Sorted-entry buffer = buf_factor × P (rasterize_tiled.BUF_FACTOR). The
+    # pack gather, the backward kernel's per-entry gradient buffer, and the
+    # entry→splat scatter all scale with it; overflow degrades gracefully
+    # (farthest entries of the highest tiles drop, counted in n_dropped).
+    # With ellipse pruning the mean entries/splat drops ~24%, so smaller
+    # factors fit more scenes — measure with scripts/sweep_train.py.
+    buf_factor: int = struct.field(pytree_node=False, default=4)
 
 
 @struct.dataclass

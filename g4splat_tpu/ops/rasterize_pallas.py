@@ -513,17 +513,19 @@ def _render_pallas_diff(static, prep: Preprocessed, bg: jnp.ndarray):
     """Differentiable wrapper: Pallas kernels forward, XLA AD of the
     math-identical tiled path backward (recompute; a dedicated back-to-front
     Pallas backward kernel is the planned replacement)."""
-    width, height, near, far, rank_mode, cap, eprune = static
+    width, height, near, far, rank_mode, cap, eprune, buf_size = static
     return _render_pallas_impl(width, height, prep, bg, near, far,
+                               buf_size=buf_size,
                                rows_are_depth_ranks=rank_mode,
                                max_tiles_per_splat=cap,
                                ellipse_prune=eprune)
 
 
 def _render_pallas_fwd(static, prep, bg):
-    width, height, near, far, rank_mode, cap, eprune = static
+    width, height, near, far, rank_mode, cap, eprune, buf_size = static
     outputs, residuals = _render_pallas_impl(
         width, height, prep, bg, near, far, return_residuals=True,
+        buf_size=buf_size,
         rows_are_depth_ranks=rank_mode, max_tiles_per_splat=cap,
         ellipse_prune=eprune,
     )
@@ -551,7 +553,7 @@ def _render_pallas_bwd(static, res, cts):
         rasterize_backward_pallas,
     )
 
-    width, height, near, far, _rank_mode, _cap, _eprune = static
+    width, height, near, far, _rank_mode, _cap, _eprune, _buf = static
     prep, bg, residuals = res
     binning, comb, entry_valid, aux_tail = residuals
     gid = binning.gauss_id
@@ -644,13 +646,14 @@ def render_pallas(
         # gradients or rend_dist use the default path.
         return _render_pallas_impl(
             camera.width, camera.height, prep, bg, near, far,
+            buf_size=buf_size,
             want_aux=False, rows_are_depth_ranks=rows_are_depth_ranks,
             max_tiles_per_splat=max_tiles_per_splat,
             ellipse_prune=ellipse_prune,
         )
     return _render_pallas_diff(
         (camera.width, camera.height, near, far, rows_are_depth_ranks,
-         max_tiles_per_splat, ellipse_prune),
+         max_tiles_per_splat, ellipse_prune, buf_size),
         prep, bg,
     )
 

@@ -87,19 +87,35 @@ def main():
         print(f"train_step {tag:32s} {(time.perf_counter()-t0)/n*1e3:8.2f} ms",
               flush=True)
 
-    # Ellipse-prune ablation on the render+grad path alone (the train loss
-    # closure pins RenderConfig, so ablate through a direct loss).
-    for ep in (True, False):
-        cfgr = RenderConfig(tile_ellipse_prune=ep)
+    # Ablations on the render+grad path alone (the train loss closure pins
+    # RenderConfig, so ablate through a direct loss). buf_factor exactness
+    # requires n_dropped == 0 — printed alongside.
+    from g4splat_tpu.ops.rasterize_common import preprocess
+    from g4splat_tpu.ops.rasterize_tiled import bin_splats
 
-        def loss(xyz, e=ep, c=cfgr):
+    prep = jax.jit(lambda s: preprocess(
+        cam, xyz=s.xyz, scaling=s.scaling(), rotation_raw=s.rotation_raw,
+        opacity=s.opacity(), features=s.features(),
+        sh_degree=s.active_sh_degree, config=RenderConfig()))(scene)
+    for bf in (4, 3, 2):
+        d = int(jax.jit(lambda p, b=bf: bin_splats(
+            p, W, H, buf_size=b * p.depth.shape[0]).n_dropped)(prep))
+        print(f"buf_factor={bf}: n_dropped={d}", flush=True)
+
+    ablations = [("prune=False", RenderConfig(tile_ellipse_prune=False)),
+                 ("default", RenderConfig()),
+                 ("buf3", RenderConfig(buf_factor=3)),
+                 ("buf3+rank", RenderConfig(buf_factor=3,
+                                            depth_rank_binning=True))]
+    for tag, cfgr in ablations:
+        def loss(xyz, c=cfgr):
             out = render(cam, scene.replace(xyz=xyz), backend="pallas",
                          config=c)
             return (jnp.mean(out["render"]) + jnp.mean(out["rend_dist"])
                     + jnp.mean(out["surf_depth"]))
 
         g = jax.jit(jax.grad(loss))
-        timeit(f"render fwd+bwd prune={ep}", g, scene.xyz)
+        timeit(f"render fwd+bwd {tag}", g, scene.xyz)
 
 
 if __name__ == "__main__":

@@ -810,3 +810,48 @@ class TestEllipsePrune:
         g1 = jax.grad(lambda x: loss(x, True))(scene.xyz)
         np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
                                    rtol=1e-4, atol=1e-6)
+
+
+class TestBufFactor:
+    """RenderConfig.buf_factor: smaller sorted-entry buffers are exact while
+    the binning drop counter stays zero."""
+
+    def test_buf3_exact_when_no_drops(self):
+        scene = random_scene(jax.random.PRNGKey(5), 2000)
+        scene = scene.replace(scaling_raw=scene.scaling_raw - 1.0)
+        cam = simple_camera(w=96, h=64, f=70.0)
+        from g4splat_tpu.ops.rasterize_common import preprocess
+        from g4splat_tpu.ops.rasterize_tiled import bin_splats
+
+        prep = preprocess(
+            cam, xyz=scene.xyz, scaling=scene.scaling(),
+            rotation_raw=scene.rotation_raw, opacity=scene.opacity(),
+            features=scene.features(), sh_degree=scene.active_sh_degree,
+            config=RenderConfig())
+        assert int(bin_splats(prep, 96, 64,
+                              buf_size=2 * 2000).n_dropped) == 0
+        base = render(cam, scene, backend="tiled")
+        for bf in (3, 2):
+            out = render(cam, scene, backend="tiled",
+                         config=RenderConfig(buf_factor=bf))
+            np.testing.assert_array_equal(
+                np.asarray(base["render"]), np.asarray(out["render"]),
+                err_msg=f"bf={bf}")
+        outp = render(cam, scene, backend="pallas",
+                      config=RenderConfig(buf_factor=2))
+        np.testing.assert_allclose(np.asarray(base["render"]),
+                                   np.asarray(outp["render"]), atol=5e-3)
+
+    def test_overflow_still_counted(self):
+        scene = random_scene(jax.random.PRNGKey(6), 1500)
+        cam = simple_camera(w=96, h=64, f=70.0)
+        from g4splat_tpu.ops.rasterize_common import preprocess
+        from g4splat_tpu.ops.rasterize_tiled import bin_splats
+
+        prep = preprocess(
+            cam, xyz=scene.xyz, scaling=scene.scaling(),
+            rotation_raw=scene.rotation_raw, opacity=scene.opacity(),
+            features=scene.features(), sh_degree=scene.active_sh_degree,
+            config=RenderConfig())
+        d_small = int(bin_splats(prep, 96, 64, buf_size=256).n_dropped)
+        assert d_small > 0
