@@ -97,28 +97,109 @@ def load_scene_images(source_path: str, n_images=None, image_idx=None,
     return np.stack(imgs), files
 
 
+def _load_npz(path):
+    """npz zoo entry → (params_dict, cfg_kwargs_or_None).
+
+    Every checkpoint written by scripts/convert_checkpoints.py carries a
+    pickled ``params`` pytree plus an optional pickled ``cfg`` kwargs dict so
+    the CLI can reconstruct the exact architecture (incl. tiny test configs).
+    """
+    data = dict(np.load(path, allow_pickle=True))
+    params = data["params"].item()
+    cfg = data["cfg"].item() if "cfg" in data else None
+    return params, cfg
+
+
 def build_priors(args):
-    """Wire prior networks from --checkpoint_dir (absent → None → the stage
-    degrades as documented)."""
+    """Wire ALL prior networks from --checkpoint_dir (absent file → None →
+    the stage degrades as documented per stage in pipeline/orchestrator.py).
+
+    Zoo layout (produced by scripts/convert_checkpoints.py): one npz per
+    prior — depth_anything_v2, mast3r, sam, see3d, see3d_sr, vae, clip,
+    lpips. The reference loads the torch originals at
+    guidance/see3d_util.py:18-40 (MVD UNet + VAE + CLIP),
+    planes/mask_generator.py:10-18 (SAM), eval (pretrained VGG for LPIPS).
+    """
     from g4splat_tpu.pipeline.orchestrator import Priors
 
     priors = Priors()
     ckpt = args.checkpoint_dir
-    if ckpt:
-        da2 = os.path.join(ckpt, "depth_anything_v2.npz")
-        if os.path.exists(da2):
-            from g4splat_tpu.priors.depth_anything import DepthAnything
+    if not ckpt:
+        return priors
 
-            data = dict(np.load(da2, allow_pickle=True))
-            priors.depth_model = DepthAnything(
-                encoder=args.depthanything_encoder, params=data["params"].item()
+    def path(name):
+        p = os.path.join(ckpt, name + ".npz")
+        return p if os.path.exists(p) else None
+
+    p = path("depth_anything_v2")
+    if p:
+        from g4splat_tpu.priors.depth_anything import DepthAnything
+
+        params, cfg = _load_npz(p)
+        enc = (cfg or {}).get("encoder", args.depthanything_encoder)
+        priors.depth_model = DepthAnything(encoder=enc, params=params)
+
+    p = path("mast3r")
+    if p:
+        from g4splat_tpu.priors.mast3r import MASt3RConfig, MASt3RModel
+
+        params, cfg = _load_npz(p)
+        mcfg = MASt3RConfig(**cfg) if cfg else MASt3RConfig()
+        priors.mast3r = MASt3RModel(cfg=mcfg, params=params)
+
+    p = path("sam")
+    if p:
+        from g4splat_tpu.priors.sam import (
+            SAMConfig,
+            SAMPredictor,
+            sam_mask_generator,
+        )
+
+        params, cfg = _load_npz(p)
+        scfg = SAMConfig(**cfg) if cfg else SAMConfig()
+        priors.sam_generator = sam_mask_generator(
+            SAMPredictor(cfg=scfg, params=params)
+        )
+
+    for name, attr in (("see3d", "see3d"), ("see3d_sr", "see3d_sr")):
+        p = path(name)
+        if p:
+            from g4splat_tpu.priors.see3d import (
+                MultiViewUNet,
+                See3DPipeline,
+                UNetConfig,
             )
-        m3r = os.path.join(ckpt, "mast3r.npz")
-        if os.path.exists(m3r):
-            from g4splat_tpu.priors.mast3r import MASt3RModel
 
-            data = dict(np.load(m3r, allow_pickle=True))
-            priors.mast3r = MASt3RModel(params=data["params"].item())
+            params, cfg = _load_npz(p)
+            ucfg = UNetConfig(**cfg) if cfg else UNetConfig()
+            setattr(priors, attr,
+                    See3DPipeline(MultiViewUNet(ucfg), params))
+
+    p = path("vae")
+    if p:
+        from g4splat_tpu.priors.vae import AutoencoderKL
+
+        params, cfg = _load_npz(p)
+        vae = AutoencoderKL(**cfg) if cfg else AutoencoderKL()
+        priors.vae = (vae, params)
+
+    p = path("clip")
+    if p:
+        from g4splat_tpu.priors.clip_vision import (
+            CLIPImageEmbedder,
+            CLIPVision,
+        )
+
+        params, cfg = _load_npz(p)
+        model = CLIPVision(**cfg) if cfg else CLIPVision()
+        priors.image_embedder = CLIPImageEmbedder(model=model, params=params)
+
+    p = path("lpips")
+    if p:
+        from g4splat_tpu.eval.image_metrics import LPIPS
+
+        params, _ = _load_npz(p)
+        priors.lpips = LPIPS(params=params, calibrated=True)
     return priors
 
 

@@ -116,8 +116,14 @@ def lpips(params, img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
 class LPIPS:
     """Stateful convenience wrapper with jitted evaluation."""
 
-    def __init__(self, params: Optional[Dict] = None, seed: int = 0):
+    def __init__(self, params: Optional[Dict] = None, seed: int = 0,
+                 calibrated: Optional[bool] = None):
         self.params = params if params is not None else init_lpips_params(seed=seed)
+        # Without converted VGG16+LPIPS-head weights the metric is
+        # architecturally LPIPS but numerically meaningless — consumers
+        # (evaluate()) surface this flag next to the reported number.
+        self.calibrated = (params is not None) if calibrated is None \
+            else bool(calibrated)
         self._fn = jax.jit(lpips)
 
     def __call__(self, img1, img2) -> float:

@@ -121,6 +121,7 @@ class Priors:
     see3d_sr: Optional[object] = None          # SR-checkpoint See3DPipeline
     vae: Optional[object] = None               # (module, params)
     image_embedder: Optional[object] = None    # callable image → tokens
+    lpips: Optional[object] = None             # eval.image_metrics.LPIPS
 
 
 @dataclass
@@ -1417,7 +1418,11 @@ class G4SplatPipeline:
         it = iteration or self.cfg.train_iterations
         results = {}
         with self._timed("evaluate"):
-            lp = lpips_model if lpips_model is not None else LPIPS()
+            lp = (lpips_model if lpips_model is not None
+                  else self.priors.lpips or LPIPS())
+            if not getattr(lp, "calibrated", True):
+                # Random-init VGG: same architecture, meaningless number.
+                results["LPIPS-uncalibrated"] = True
             if st.test_images is not None and st.test_cameras is not None:
                 n_test = len(st.test_images)
                 test_renders = self._render_camera_batch(

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Convert a directory of reference torch checkpoints into the npz zoo that
+`g4splat_tpu.cli --checkpoint_dir` consumes.
+
+Reference checkpoint layout (reference README.md:108-139):
+
+    Depth-Anything-V2/checkpoints/depth_anything_v2_vitl.pth
+    mast3r/checkpoints/MASt3R_ViTLarge_BaseDecoder_512_catmlpdpt_metric.pth
+    checkpoint/segment-anything/sam_vit_h_4b8939.pth
+    checkpoint/MVD_weights/            (diffusers layout: unet/sparse/
+                                        ema-checkpoint, vae/, image_encoder/)
+    + torchvision VGG16 / LPIPS linear heads for calibrated LPIPS eval
+
+Output zoo (each npz: pickled ``params`` pytree + optional pickled ``cfg``
+kwargs dict; see cli._load_npz):
+
+    depth_anything_v2.npz  mast3r.npz  sam.npz  see3d.npz  [see3d_sr.npz]
+    vae.npz  clip.npz  [lpips.npz]
+
+Usage:
+    python scripts/convert_checkpoints.py --src /path/to/reference/ckpts \
+        --dst /path/to/npz_zoo [--only sam,see3d]
+
+Files that cannot be found are skipped with a warning — the CLI degrades
+the corresponding stage, so a partial zoo is still usable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _find(src: str, patterns) -> str | None:
+    for pat in patterns:
+        hits = sorted(glob.glob(os.path.join(src, pat), recursive=True))
+        if hits:
+            return hits[0]
+    return None
+
+
+def _load_torch_state(path: str) -> dict:
+    """torch .pth/.bin/.ckpt or .safetensors → flat {name: np.ndarray}."""
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        state = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                state[k] = f.get_tensor(k)
+        return state
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("model", "state_dict", "params"):
+        if isinstance(obj, dict) and key in obj and isinstance(obj[key], dict):
+            obj = obj[key]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items() if hasattr(v, "shape")}
+
+
+def _save(dst: str, name: str, params, cfg=None) -> None:
+    out = os.path.join(dst, name + ".npz")
+    payload = {"params": np.array(params, dtype=object)}
+    if cfg is not None:
+        payload["cfg"] = np.array(cfg, dtype=object)
+    np.savez(out, **payload)
+    print(f"  wrote {out}")
+
+
+def convert_da2(src, dst, encoder="vitl"):
+    p = _find(src, ["**/depth_anything_v2_*.pth", "depth_anything_v2*.pth"])
+    if not p:
+        return print("  [skip] depth_anything_v2: no checkpoint found")
+    from g4splat_tpu.priors.depth_anything import convert_torch_checkpoint
+
+    for enc in ("vits", "vitb", "vitl", "vitg"):
+        if enc in os.path.basename(p):
+            encoder = enc
+    params = convert_torch_checkpoint(_load_torch_state(p), encoder=encoder)
+    _save(dst, "depth_anything_v2", params, {"encoder": encoder})
+
+
+def convert_mast3r(src, dst):
+    p = _find(src, ["**/MASt3R_ViTLarge*metric.pth", "**/mast3r*.pth"])
+    if not p:
+        return print("  [skip] mast3r: no checkpoint found")
+    from g4splat_tpu.priors.mast3r import convert_torch_mast3r
+
+    params = convert_torch_mast3r(_load_torch_state(p))
+    _save(dst, "mast3r", params)
+
+
+def convert_sam(src, dst):
+    p = _find(src, ["**/sam_vit_h*.pth", "**/sam_*.pth"])
+    if not p:
+        return print("  [skip] sam: no checkpoint found")
+    from g4splat_tpu.priors.sam import convert_torch_sam
+
+    params = convert_torch_sam(_load_torch_state(p))
+    _save(dst, "sam", params)
+
+
+def _diffusers_unet_state(root: str) -> dict | None:
+    p = _find(root, ["diffusion_pytorch_model.safetensors",
+                     "diffusion_pytorch_model.bin", "*.safetensors", "*.bin",
+                     "*.pth", "*.ckpt"])
+    return _load_torch_state(p) if p else None
+
+
+def convert_see3d(src, dst):
+    base = _find(src, ["**/MVD_weights"]) or src
+    for sub, name in (("unet/sparse/ema-checkpoint", "see3d"),
+                      ("unet/single/ema-checkpoint", "see3d_sr")):
+        root = os.path.join(base, sub)
+        if not os.path.isdir(root):
+            print(f"  [skip] {name}: {root} not found")
+            continue
+        state = _diffusers_unet_state(root)
+        if state is None:
+            print(f"  [skip] {name}: no weight file under {root}")
+            continue
+        from g4splat_tpu.priors.see3d import convert_torch_see3d
+
+        params = convert_torch_see3d(state)
+        _save(dst, name, params)
+
+    vroot = os.path.join(base, "vae")
+    if os.path.isdir(vroot):
+        state = _diffusers_unet_state(vroot)
+        if state is not None:
+            from g4splat_tpu.priors.vae import convert_torch_vae
+
+            _save(dst, "vae", convert_torch_vae(state))
+    else:
+        print(f"  [skip] vae: {vroot} not found")
+
+    croot = os.path.join(base, "image_encoder")
+    cpath = (_diffusers_unet_state(croot) if os.path.isdir(croot) else None)
+    if cpath is not None:
+        from g4splat_tpu.priors.clip_vision import convert_torch_clip_vision
+
+        _save(dst, "clip", convert_torch_clip_vision(cpath))
+    else:
+        print(f"  [skip] clip: {croot} not found")
+
+
+def convert_lpips(src, dst):
+    vgg = _find(src, ["**/vgg16*.pth", "**/vgg16*.bin"])
+    lin = _find(src, ["**/lpips*vgg*.pth", "**/weights/v0.1/vgg.pth"])
+    if not vgg or not lin:
+        return print("  [skip] lpips: need torchvision vgg16 + LPIPS heads")
+    from g4splat_tpu.eval.image_metrics import load_torch_lpips_weights
+
+    params = load_torch_lpips_weights(_load_torch_state(vgg),
+                                      _load_torch_state(lin))
+    _save(dst, "lpips", params)
+
+
+CONVERTERS = {
+    "depth_anything_v2": convert_da2,
+    "mast3r": convert_mast3r,
+    "sam": convert_sam,
+    "see3d": convert_see3d,
+    "lpips": convert_lpips,
+}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--src", required=True,
+                    help="reference checkpoint root (searched recursively)")
+    ap.add_argument("--dst", required=True, help="npz zoo output dir")
+    ap.add_argument("--only", default=None,
+                    help=f"comma list from {sorted(CONVERTERS)}")
+    args = ap.parse_args(argv)
+    os.makedirs(args.dst, exist_ok=True)
+    names = args.only.split(",") if args.only else list(CONVERTERS)
+    for name in names:
+        print(f"[{name}]")
+        CONVERTERS[name](args.src, args.dst)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
