@@ -29,8 +29,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_view_config", action="store_true")
     p.add_argument("--config_view_num", type=int, default=10)
     p.add_argument("--image_idx", type=int, nargs="*", default=None)
-    p.add_argument("--randomize_images", action="store_true")
-    p.add_argument("--dense_supervision", action="store_true")
+    p.add_argument("--randomize_images", action="store_true",
+                   help="shuffle (seeded) the image list before --n_images "
+                        "truncation; ignored with --image_idx / view config "
+                        "(run_sfm.py:48-53 semantics — the reference parses "
+                        "this in run_mast3r.py:76 without reading it)")
+    p.add_argument("--dense_supervision", action="store_true",
+                   help="switch the GS schedule to the 30k 'long' config "
+                        "(train.py:120-121)")
     p.add_argument("--use_dense_view", action="store_true")
     p.add_argument("--dense_regul", type=str, default="default",
                    choices=["default", "strong", "weak", "none"],
@@ -46,9 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sfm_config", type=str, default="unposed",
                    choices=["posed", "unposed"])
     p.add_argument("--alignment_config", type=str, default="default")
-    p.add_argument("--depth_model", type=str, default="depthanythingv2")
+    p.add_argument("--depth_model", type=str, default="depthanythingv2",
+                   choices=["depthanythingv2"],
+                   help="monocular depth prior family (only DA2 is "
+                        "implemented; the reference parses this in "
+                        "align_charts.py:23 without reading it)")
     p.add_argument("--depthanything_encoder", type=str, default="vitl")
-    p.add_argument("--free_gaussians_config", type=str, default="default")
+    p.add_argument("--free_gaussians_config", type=str, default=None,
+                   help="None → 'long' with --dense_supervision else "
+                        "'default' (train.py:120-121)")
     p.add_argument("--tsdf_config", type=str, default="default")
     p.add_argument("--tetra_config", type=str, default="default")
     p.add_argument("--tetra_downsample_ratio", type=float, default=0.5)
@@ -61,14 +73,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="Directory with converted prior-model checkpoints")
     p.add_argument("--work_size", type=int, default=512)
-    p.add_argument("--iterations", type=int, default=7000)
+    p.add_argument("--iterations", type=int, default=None,
+                   help="None → iterations from the resolved "
+                        "free_gaussians_refinement YAML (7000/30000)")
     p.add_argument("--render_backend", type=str, default="pallas",
                    choices=["pallas", "tiled", "dense"])
     return p
 
 
 def load_scene_images(source_path: str, n_images=None, image_idx=None,
-                      work_size: int = 512):
+                      work_size: int = 512, randomize: bool = False,
+                      seed: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +96,14 @@ def load_scene_images(source_path: str, n_images=None, image_idx=None,
     if image_idx:
         files = [files[i] for i in image_idx]
     elif n_images:
-        files = files[:n_images]
+        if randomize:
+            # --randomize_images: seeded shuffle, then constant-spacing
+            # subsample to n_images (run_mast3r.py:76 help text).
+            order = np.random.RandomState(seed).permutation(len(files))
+            step = max(1, len(files) // n_images)
+            files = [files[i] for i in sorted(order[::step][:n_images])]
+        else:
+            files = files[:n_images]
     from g4splat_tpu.io.images import load_image
 
     imgs = []
@@ -229,7 +251,8 @@ def main(argv=None):
             image_idx, test_ids = split
 
     images, files = load_scene_images(
-        args.source_path, args.n_images, image_idx, args.work_size
+        args.source_path, args.n_images, image_idx, args.work_size,
+        randomize=args.randomize_images,
     )
     test_images = None
     if test_ids:
@@ -251,12 +274,26 @@ def main(argv=None):
         if test_ids:
             test_cameras = stack_cameras([fw[i][1] for i in test_ids])
 
+    # --dense_supervision → the 30k 'long' schedule (train.py:120-121);
+    # iterations follow the resolved YAML unless --iterations overrides.
+    fg_config = args.free_gaussians_config or (
+        "long" if args.dense_supervision else "default"
+    )
+    iterations = args.iterations
+    if iterations is None:
+        from g4splat_tpu.utils.config import load_config
+
+        iterations = int(load_config(
+            "free_gaussians_refinement", fg_config).get("iterations", 7000))
+
     cfg = PipelineConfig(
         source_path=args.source_path,
         output_path=out,
         sfm_config=args.sfm_config,
         alignment_config=args.alignment_config,
-        free_gaussians_config=args.free_gaussians_config,
+        free_gaussians_config=fg_config,
+        tetra_config=args.tetra_config,
+        tsdf_config=args.tsdf_config,
         tetra_downsample_ratio=args.tetra_downsample_ratio,
         select_inpaint_num=args.select_inpaint_num,
         use_dense_view=args.use_dense_view,
@@ -270,7 +307,7 @@ def main(argv=None):
         warp_depth_error_thresh=args.warp_depth_error_thresh,
         warp_downsample_pixel_grid_size=args.warp_downsample_pixel_grid_size,
         work_size=args.work_size,
-        train_iterations=args.iterations,
+        train_iterations=iterations,
         render_backend=args.render_backend,
     )
     pipeline = G4SplatPipeline(cfg, build_priors(args))

@@ -51,6 +51,22 @@ class TSDFConfig:
     unbias_depth_using_normals: bool = struct.field(pytree_node=False, default=False)
     weight_by_softmax: bool = struct.field(pytree_node=False, default=False)
     softmax_temperature: float = struct.field(pytree_node=False, default=1.0)
+    # 'bilinear' | 'nearest' — sampling mode when interpolate_depth is on
+    # (adaptive_tsdf.py integrate(interpolation_mode), configs
+    # adaptive_tetrahedralization/default.yaml).
+    interpolation_mode: str = struct.field(pytree_node=False, default="bilinear")
+    # Drop observations whose rendered-vs-surface normal agreement
+    # (reference_normals · normals) is below threshold (:257-264), and/or
+    # weight observations by |agreement| (:305-306).
+    filter_with_normal_consistency: bool = struct.field(
+        pytree_node=False, default=False
+    )
+    normal_consistency_threshold: float = struct.field(
+        pytree_node=False, default=0.5
+    )
+    weight_by_normal_consistency: bool = struct.field(
+        pytree_node=False, default=False
+    )
 
 
 class TSDFOut(NamedTuple):
@@ -74,7 +90,8 @@ def integrate_views(
     images: jnp.ndarray,              # (V, H, W, 3)
     depths: jnp.ndarray,              # (V, H, W)
     cfg: TSDFConfig,
-    normals: Optional[jnp.ndarray] = None,   # (V, H, W, 3)
+    normals: Optional[jnp.ndarray] = None,   # (V, H, W, 3) surface normals
+    reference_normals: Optional[jnp.ndarray] = None,  # (V, H, W, 3) rendered
 ) -> TSDFOut:
     N = points.shape[0]
     init = (
@@ -82,10 +99,12 @@ def integrate_views(
         jnp.zeros(N),
         jnp.zeros((N, 3)),
     )
+    need_nc = (cfg.filter_with_normal_consistency
+               or cfg.weight_by_normal_consistency)
 
     def view_step(carry, inp):
         tsdf, weights, colors = carry
-        cam_leaves, img, depth, nrm = inp
+        cam_leaves, img, depth, nrm, ref_nrm = inp
         cam = cam_leaves
 
         W = img.shape[1]
@@ -106,7 +125,14 @@ def integrate_views(
                 grad[iy, ix] < cfg.depth_gradient_threshold_for_filtering
             )
 
-        if cfg.interpolate_depth:
+        if need_nc:
+            # Per-pixel agreement between the alpha-blended splat normals and
+            # the depth-derived surface normals (adaptive_tsdf.py:257-264).
+            nc = jnp.sum(ref_nrm * nrm, axis=-1)[iy, ix]
+            if cfg.filter_with_normal_consistency:
+                valid = valid & (nc > cfg.normal_consistency_threshold)
+
+        if cfg.interpolate_depth and cfg.interpolation_mode != "nearest":
             d_at = bilinear_sample(depth[..., None], xy)[..., 0]
             if cfg.weight_interpolation_by_depth_gradient:
                 d_near = depth[iy, ix]
@@ -130,6 +156,8 @@ def integrate_views(
         w = jnp.ones(N)
         if cfg.weight_by_softmax:
             w = w * jnp.exp(cfg.softmax_temperature * dist)
+        if cfg.weight_by_normal_consistency:
+            w = w * jnp.abs(nc)
         w = jnp.where(valid, w, 0.0)
 
         new_weights = weights + w
@@ -143,7 +171,9 @@ def integrate_views(
             )
 
         img_at = (
-            bilinear_sample(img, xy) if cfg.interpolate_depth else img[iy, ix]
+            bilinear_sample(img, xy)
+            if cfg.interpolate_depth and cfg.interpolation_mode != "nearest"
+            else img[iy, ix]
         )
         colors = jnp.where(
             valid[:, None],
@@ -154,12 +184,69 @@ def integrate_views(
         return (tsdf, new_weights, colors), None
 
     nrm = normals if normals is not None else jnp.zeros_like(images)
+    ref_nrm = (reference_normals if reference_normals is not None
+               else jnp.zeros_like(images))
     (tsdf, weights, colors), _ = jax.lax.scan(
-        view_step, init, (cameras, images, depths, nrm)
+        view_step, init, (cameras, images, depths, nrm, ref_nrm)
     )
     if cfg.use_binary_opacity:
         tsdf = 0.5 - tsdf
     return TSDFOut(tsdf, colors, weights)
+
+
+def apply_sdf_tolerance(depth: jnp.ndarray, focal: float,
+                        tolerance_px: float = 1.5,
+                        max_tolerance: float = 0.01) -> jnp.ndarray:
+    """Shrink depths by a pixel-scaled tolerance so the TSDF zero-crossing
+    sits slightly in front of the rendered surface
+    (extract_mesh_adaptive_tsdf.py:175-184: tolerance = clamp(tol_px / focal
+    · depth, max=1e-3·extent), depth -= tolerance)."""
+    tol = jnp.minimum(tolerance_px / focal * depth, max_tolerance)
+    return depth - tol
+
+
+def dilate_depth_along_normals(cam, depth: jnp.ndarray, rgb: jnp.ndarray,
+                               dilation_px: float = 1.5,
+                               max_dilation: float = 0.01):
+    """Depth/RGB dilation (extract_mesh_adaptive_tsdf.py:49-137): backproject
+    the depth map, displace each surface point along its (depth-derived)
+    normal by clamp(dilation_px/focal·depth, max_dilation), and re-render.
+
+    TPU-native deviation: the reference builds a pytorch3d manifold mesh and
+    rasterizes it; for a ~1.5-pixel displacement the re-render is equivalent
+    to a z-buffer point splat of the displaced points at their new pixel
+    coordinates (scatter-min over depth), which avoids a mesh rasterizer
+    entirely. Pixels no displaced point lands on keep the original values
+    (the reference's rendered-zero fallback, :133-134)."""
+    from g4splat_tpu.core.geometry import depth_to_normal
+
+    H, W = depth.shape
+    pts = cam.backproject(depth)                      # (H, W, 3) world
+    nrm = depth_to_normal(cam, depth)                 # (H, W, 3) world, unit
+    focal = (cam.fx + cam.fy) / 2.0
+    fac = jnp.minimum(dilation_px / focal * depth, max_dilation)[..., None]
+    moved = (pts + fac * nrm).reshape(-1, 3)
+    xy, z = cam.project(moved)
+    ix = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, W - 1)
+    iy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, H - 1)
+    ok = (
+        (xy[:, 0] >= -0.5) & (xy[:, 0] <= W - 0.5)
+        & (xy[:, 1] >= -0.5) & (xy[:, 1] <= H - 0.5)
+        & (z > 1e-6) & (depth.reshape(-1) > 0)
+    )
+    flat = iy * W + ix
+    big = jnp.float32(1e10)
+    zb = jnp.full(H * W, big).at[jnp.where(ok, flat, 0)].min(
+        jnp.where(ok, z, big))
+    # Color of the winning (nearest) point per pixel: argmin via a second
+    # scatter keyed on exact-z match.
+    win = zb[flat] == z
+    cb = jnp.zeros((H * W, 3)).at[flat].max(
+        jnp.where((ok & win)[:, None], rgb.reshape(-1, 3), 0.0))
+    hit = zb < big
+    new_depth = jnp.where(hit.reshape(H, W), zb.reshape(H, W), depth)
+    new_rgb = jnp.where(hit.reshape(H, W, 1), cb.reshape(H, W, 3), rgb)
+    return new_depth, new_rgb
 
 
 def integrate_views_chunked(
@@ -169,6 +256,7 @@ def integrate_views_chunked(
     depths,
     cfg: TSDFConfig,
     normals=None,
+    reference_normals=None,
     chunk: int = 262_144,
 ) -> TSDFOut:
     """Stream large point sets through fixed-size chunks (stable jit shapes)."""
@@ -182,7 +270,8 @@ def integrate_views_chunked(
         pad = chunk - (e - s)
         if pad:
             pts = jnp.pad(pts, ((0, pad), (0, 0)))
-        out = integrate_views(pts, cameras, images, depths, cfg, normals)
+        out = integrate_views(pts, cameras, images, depths, cfg, normals,
+                              reference_normals)
         outs.append(jax.tree.map(lambda x: np.asarray(x[: e - s]), out))
     return TSDFOut(
         np.concatenate([o.tsdf for o in outs]),

@@ -62,6 +62,18 @@ class ChartAlignConfig:
     encodings_lr: float = 1e-2
     mlp_lr: float = 1e-3
     confidence_lr: float = 1e-3
+    # LR decay steps (charts_alignment yaml lr_update_iters/[factor]; with the
+    # default n_iterations=1000 and boundary 1000 the decay never fires, as in
+    # the reference run).
+    lr_update_iters: tuple = (1000,)
+    lr_update_factor: float = 0.1
+    # "Strong" regularizations (configs/charts_alignment/strong.yaml;
+    # parallel_aligner.py:632-635,811-819,348-355)
+    regularize_chart_encodings_norms: bool = False
+    chart_encodings_norm_loss_weight: float = 2.0
+    use_total_variation_on_depth_encodings: bool = False
+    total_variation_on_depth_encodings_weight: float = 5.0
+    weight_encodings_with_confidence: bool = False
 
 
 def grid_sample_bilinear(grid: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
@@ -162,6 +174,12 @@ def forward_deformation(params, state: ChartAlignState, cfg: ChartAlignConfig):
     for g in params["enc"]:
         feats.append(jax.vmap(grid_sample_bilinear)(g, state.uv))
     enc = jnp.concatenate(feats, axis=-1)  # (V, H, W, D)
+
+    if cfg.weight_encodings_with_confidence:
+        # parallel_aligner.py:348-355: detached conf, w = 1 - exp(-(c-1)²/2).
+        conf = 1.0 + jnp.exp(jax.lax.stop_gradient(params["conf_raw"]))
+        cw = conf - 1.0
+        enc = enc * (1.0 - jnp.exp(-0.5 * cw * cw))[..., None]
 
     # Depth encoding: linear interp into the per-chart bin table.
     nb = params["denc"].shape[1]
@@ -272,11 +290,21 @@ def align_charts(
         matches = ref_pts = true_depth = None
 
     label_of = {"enc": "enc", "denc": "enc", "mlp": "mlp", "conf_raw": "conf"}
+
+    def lr_sched(base):
+        # Piecewise-constant ×lr_update_factor at each boundary
+        # (charts_alignment yaml lr_update_iters / lr_update_factor).
+        if not cfg.lr_update_iters:
+            return base
+        return optax.piecewise_constant_schedule(
+            base, {int(b): cfg.lr_update_factor for b in cfg.lr_update_iters}
+        )
+
     optimizer = optax.multi_transform(
         {
-            "enc": optax.adam(cfg.encodings_lr),
-            "mlp": optax.adam(cfg.mlp_lr),
-            "conf": optax.adam(cfg.confidence_lr),
+            "enc": optax.adam(lr_sched(cfg.encodings_lr)),
+            "mlp": optax.adam(lr_sched(cfg.mlp_lr)),
+            "conf": optax.adam(lr_sched(cfg.confidence_lr)),
         },
         lambda params: {k: label_of[k] for k in params},
     )
@@ -313,6 +341,19 @@ def align_charts(
                 jnp.sum(m), 1.0
             )
             total = total + cfg.matching_loss_weight * match_loss
+        if cfg.regularize_chart_encodings_norms:
+            # parallel_aligner.py:811-814: mean L2 norm of the sampled
+            # multi-res chart encodings at the chart uv grid.
+            feats = [jax.vmap(grid_sample_bilinear)(g, state.uv)
+                     for g in params["enc"]]
+            enc_norm = jnp.linalg.norm(
+                jnp.concatenate(feats, axis=-1), axis=-1).mean()
+            total = total + cfg.chart_encodings_norm_loss_weight * enc_norm
+        if cfg.use_total_variation_on_depth_encodings:
+            # parallel_aligner.py:816-819: TV over adjacent depth bins.
+            tv = jnp.abs(
+                params["denc"][:, 1:] - params["denc"][:, :-1]).mean()
+            total = total + cfg.total_variation_on_depth_encodings_weight * tv
         return total
 
     @jax.jit

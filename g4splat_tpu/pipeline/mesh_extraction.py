@@ -46,12 +46,20 @@ class MeshExtractionConfig:
     truncation_margin: float = 0.005        # × camera spatial extent
     n_binary_steps: int = 8
     interpolate_depth: bool = True
+    interpolation_mode: str = "bilinear"    # 'bilinear' | 'nearest'
     weight_interpolation_by_depth_gradient: bool = False
     use_binary_opacity: bool = False
     unbias_depth_using_normals: bool = False
     filter_with_depth_gradient: bool = False
+    filter_with_normal_consistency: bool = False
+    weight_by_normal_consistency: bool = False
     weight_by_softmax: bool = False
     softmax_temperature: float = 1.0
+    # Depth preprocessing before TSDF integration
+    # (extract_mesh_adaptive_tsdf.py:168-184; dilation/tolerance = 1.5 px,
+    # clamped at 1e-3 × camera extent).
+    use_dilated_depth: bool = False
+    use_sdf_tolerance: bool = False
     texture_mesh: bool = True
     backend: str = "pallas"
     point_chunk: int = 262_144
@@ -131,19 +139,50 @@ def extract_mesh_adaptive_tsdf(
     cells = delaunay_tetrahedralize(points)
 
     # 2. Render all views once (device), cache maps.
-    rgbs, depths, surf_normals, _, _ = render_all_views(
+    rgbs, depths, surf_normals, rend_normals, _ = render_all_views(
         scene, cameras, config.depth_ratio, config.backend
     )
 
+    # Depth preprocessing (extract_mesh_adaptive_tsdf.py:168-184).
+    if config.use_dilated_depth:
+        from g4splat_tpu.ops.tsdf import dilate_depth_along_normals
+
+        dd, rr = [], []
+        for i in range(cameras.w2c.shape[0]):
+            cam = jax.tree.map(lambda x, i=i: x[i], cameras)
+            d, r = dilate_depth_along_normals(
+                cam, depths[i], rgbs[i],
+                dilation_px=1.5, max_dilation=1e-3 * extent)
+            dd.append(d)
+            rr.append(r)
+        depths, rgbs = jnp.stack(dd), jnp.stack(rr)
+    if config.use_sdf_tolerance:
+        from g4splat_tpu.ops.tsdf import apply_sdf_tolerance
+
+        focals = (cameras.fx + cameras.fy) / 2.0
+        depths = jax.vmap(
+            lambda d, f: apply_sdf_tolerance(
+                d, f, tolerance_px=1.5, max_tolerance=1e-3 * extent)
+        )(depths, focals)
+
+    need_normals = (config.unbias_depth_using_normals
+                    or config.filter_with_normal_consistency
+                    or config.weight_by_normal_consistency)
+    need_ref = (config.filter_with_normal_consistency
+                or config.weight_by_normal_consistency)
     tsdf_cfg = TSDFConfig(
         trunc_margin=trunc,
         use_binary_opacity=config.use_binary_opacity,
         interpolate_depth=config.interpolate_depth,
+        interpolation_mode=config.interpolation_mode,
         weight_interpolation_by_depth_gradient=config.weight_interpolation_by_depth_gradient,
         depth_gradient_threshold=0.2 * extent,
         filter_with_depth_gradient=config.filter_with_depth_gradient,
         depth_gradient_threshold_for_filtering=0.1 * extent,
         unbias_depth_using_normals=config.unbias_depth_using_normals,
+        filter_with_normal_consistency=config.filter_with_normal_consistency,
+        normal_consistency_threshold=0.5,
+        weight_by_normal_consistency=config.weight_by_normal_consistency,
         weight_by_softmax=config.weight_by_softmax,
         softmax_temperature=config.softmax_temperature,
     )
@@ -151,7 +190,8 @@ def extract_mesh_adaptive_tsdf(
     def eval_tsdf(pts):
         return integrate_views_chunked(
             pts, cameras, rgbs, depths, tsdf_cfg,
-            normals=surf_normals if config.unbias_depth_using_normals else None,
+            normals=surf_normals if need_normals else None,
+            reference_normals=rend_normals if need_ref else None,
             chunk=config.point_chunk,
         )
 
@@ -194,6 +234,49 @@ def eval_tsdf_colors(pts, cameras, rgbs, depths, tsdf_cfg, chunk):
     out = integrate_views_chunked(pts, cameras, rgbs, depths, tsdf_cfg,
                                   chunk=chunk)
     return out.colors
+
+
+def keep_largest_clusters(mesh: ExtractedMesh,
+                          cluster_to_keep: int = 50,
+                          min_triangles: int = 50) -> ExtractedMesh:
+    """Floater removal (2dgs/utils/mesh_utils.py:22-41 post_process_mesh):
+    cluster edge-connected triangles, keep only clusters at least as large as
+    the `cluster_to_keep`-th biggest (and ≥ min_triangles), drop the rest and
+    compact unreferenced vertices."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    faces = np.asarray(mesh.faces)
+    F = len(faces)
+    if F <= min_triangles:
+        # Degenerate/tiny meshes (test fixtures, early aborts): the reference
+        # filter would erase them entirely; keep them intact instead.
+        return mesh
+    # Face-face adjacency via shared (sorted) edges.
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    e = np.sort(e, axis=1)
+    fidx = np.tile(np.arange(F), 3)
+    order = np.lexsort((e[:, 1], e[:, 0]))
+    e, fidx = e[order], fidx[order]
+    same = (e[1:] == e[:-1]).all(axis=1)
+    rows, cols = fidx[:-1][same], fidx[1:][same]
+    adj = sp.coo_matrix(
+        (np.ones(len(rows)), (rows, cols)), shape=(F, F)
+    )
+    n_comp, labels = connected_components(adj, directed=False)
+    counts = np.bincount(labels, minlength=n_comp)
+    kth = np.sort(counts)[-min(cluster_to_keep, n_comp)]
+    thr = max(kth, min_triangles)
+    keep_faces = counts[labels] >= thr
+    faces = faces[keep_faces]
+    used = np.unique(faces)
+    remap = np.full(len(mesh.vertices), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return ExtractedMesh(
+        mesh.vertices[used],
+        remap[faces].astype(np.int32),
+        mesh.vertex_colors[used] if mesh.vertex_colors is not None else None,
+    )
 
 
 def _verts_covered(cameras: Camera, verts: np.ndarray,

@@ -21,6 +21,7 @@ smoke tests.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import math
 import os
@@ -61,6 +62,7 @@ class PipelineConfig:
     alignment_config: str = "default"
     free_gaussians_config: str = "default"
     tetra_config: str = "default"
+    tsdf_config: str = "default"
     tetra_downsample_ratio: float = 0.5
     select_inpaint_num: int = 20
     n_see3d_stages: int = 3
@@ -341,10 +343,20 @@ class G4SplatPipeline:
                 init_w2c = np.asarray(st.cameras.w2c)
                 focals = np.asarray(st.cameras.fx)
                 fix = True
+            # SfM optimization schedule from the YAML tree (the source of
+            # truth: configs/mast3r/{posed,unposed}.yaml mirrors
+            # run_mast3r.py:250-264 — 1000 coarse + 1000 refine iterations).
+            from g4splat_tpu.utils.config import apply_overrides, load_config
+
+            sfm_cfg = apply_overrides(
+                S.SfMConfig(), load_config("mast3r", self.cfg.sfm_config))
+            if not fix:
+                # Posed config without provided cameras (or unposed): poses
+                # and intrinsics must be optimized regardless of the YAML.
+                sfm_cfg = dataclasses.replace(
+                    sfm_cfg, fix_poses=False, optimize_intrinsics=True)
             res = S.sparse_global_alignment(
-                depths, focals, pairs,
-                S.SfMConfig(fix_poses=fix, optimize_intrinsics=not fix),
-                init_w2c=init_w2c,
+                depths, focals, pairs, sfm_cfg, init_w2c=init_w2c,
             )
             from g4splat_tpu.core.cameras import make_camera
 
@@ -515,12 +527,23 @@ class G4SplatPipeline:
                     init_depths.append(ref)
             init_depths = np.stack(init_depths)
             extent = max(cameras_spatial_extent(st.cameras), 1e-3)
-            n_iter = 1000 if self.cfg.alignment_config == "default" else 300
+            # Alignment schedule + regularization from the YAML tree
+            # (configs/charts_alignment/{default,strong,fast}.yaml — the
+            # first two mirror the reference's files; 'fast' is the test
+            # shortcut). Unknown names fall back to default.
+            from g4splat_tpu.utils.config import apply_overrides, load_config
+
+            try:
+                ycfg = load_config("charts_alignment",
+                                   self.cfg.alignment_config)
+            except FileNotFoundError:
+                ycfg = load_config("charts_alignment", "default")
+            acfg = apply_overrides(ChartAlignConfig(), ycfg)
             res = align_charts(
                 st.cameras, jnp.asarray(init_depths),
                 jnp.asarray(st.prior_depths),
                 extent=extent,
-                cfg=ChartAlignConfig(n_iterations=n_iter),
+                cfg=acfg,
             )
             st.depths = res.depths
             st.prior_depths = res.prior_depths
@@ -1363,33 +1386,60 @@ class G4SplatPipeline:
         return renders
 
     def extract_mesh(self):
-        """Adaptive tetra mesh (P15) or grid TSDF (P14 multires path)."""
+        """Adaptive tetra mesh (P15) or grid TSDF (P14 multires path).
+
+        Both paths resolve their option surface from the YAML config tree
+        (configs/adaptive_tetrahedralization + configs/multiresolution_tsdf),
+        like the reference stage wrappers (scripts/extract_tetra_mesh.py,
+        render_multires.py flags)."""
         from g4splat_tpu.pipeline.mesh_extraction import (
             MeshExtractionConfig,
             extract_mesh_adaptive_tsdf,
             extract_mesh_multires_tsdf,
+            keep_largest_clusters,
         )
+        from g4splat_tpu.utils.config import apply_overrides, load_config
 
         st = self.state
         cfg = self.cfg
         with self._timed("extract_mesh"):
             if cfg.use_multires_tsdf:
                 # 3-factor depth_trunc sweep + redundant near-field face
-                # removal (render_multires.py:97-206).
+                # removal (render_multires.py:97-206) + top-N connected
+                # cluster floater filter (mesh_utils.py:22-41, :204).
+                tcfg = load_config("multiresolution_tsdf", cfg.tsdf_config)
                 mesh = extract_mesh_multires_tsdf(
-                    st.scene, st.cameras, factors=cfg.multires_factors,
+                    st.scene, st.cameras,
+                    factors=tuple(tcfg.get("multires_factors",
+                                           cfg.multires_factors)),
                     resolution=cfg.tsdf_resolution,
+                    mesh_res=int(tcfg.get("mesh_res", 1024)),
+                    depth_ratio=float(tcfg.get("depth_ratio", 1.0)),
                     backend=cfg.render_backend,
                 )
+                mesh = keep_largest_clusters(
+                    mesh, cluster_to_keep=int(tcfg.get("num_cluster", 50)))
             else:
-                mesh = extract_mesh_adaptive_tsdf(
-                    st.scene, st.cameras,
+                ycfg = dict(load_config("adaptive_tetrahedralization",
+                                        cfg.tetra_config))
+                # Reference key names → MeshExtractionConfig fields.
+                for src, dst in (
+                    ("use_unbiased_tsdf", "unbias_depth_using_normals"),
+                    ("n_neighbors_to_interpolate", "interp_neighbors"),
+                    ("n_interpolated_cameras_for_each_neighbor",
+                     "interp_per_neighbor"),
+                ):
+                    if src in ycfg:
+                        ycfg[dst] = ycfg.pop(src)
+                mcfg = apply_overrides(
                     MeshExtractionConfig(
                         downsample_ratio=cfg.tetra_downsample_ratio,
                         backend=cfg.render_backend,
                         use_interpolated_views=cfg.use_interpolated_views,
                     ),
+                    ycfg,
                 )
+                mesh = extract_mesh_adaptive_tsdf(st.scene, st.cameras, mcfg)
             if cfg.use_mesh_filter:
                 mesh = filter_mesh_by_edge_length(mesh)
             path = os.path.join(

@@ -107,6 +107,123 @@ class TestTSDFIntegration:
         np.testing.assert_allclose(np.asarray(out.tsdf), [0.5, -0.5], atol=1e-6)
 
 
+class TestTSDFOptions:
+    """Round-3 option surface (adaptive_tsdf.py:162-341,
+    extract_mesh_adaptive_tsdf.py:168-184)."""
+
+    def _setup(self):
+        cam = lookat_camera([0, 0, 0], [0, 0, 1], [0, -1, 0],
+                            fx=32.0, fy=32.0, width=32, height=32)
+        cams = stack_cameras([cam])
+        depth = jnp.full((1, 32, 32), 2.0)
+        img = jnp.ones((1, 32, 32, 3)) * 0.5
+        pts = jnp.asarray([[0, 0, 1.97], [0, 0, 2.03]], jnp.float32)
+        return cams, depth, img, pts
+
+    def test_normal_consistency_filter(self):
+        cams, depth, img, pts = self._setup()
+        nrm = jnp.zeros((1, 32, 32, 3)).at[..., 2].set(-1.0)
+        cfg = TSDFConfig(trunc_margin=0.1,
+                         filter_with_normal_consistency=True,
+                         normal_consistency_threshold=0.5)
+        # Agreeing normals (nc = 1 > 0.5): identical to the unfiltered run.
+        out_ok = integrate_views(pts, cams, img, depth, cfg,
+                                 normals=nrm, reference_normals=nrm)
+        base = integrate_views(pts, cams, img, depth,
+                               TSDFConfig(trunc_margin=0.1))
+        np.testing.assert_allclose(out_ok.tsdf, base.tsdf, atol=1e-6)
+        # Opposing normals (nc = -1): every observation filtered → init.
+        out_bad = integrate_views(pts, cams, img, depth, cfg,
+                                  normals=nrm, reference_normals=-nrm)
+        np.testing.assert_allclose(np.asarray(out_bad.tsdf), [-1.0, -1.0])
+
+    def test_normal_consistency_weighting(self):
+        cams, depth, img, pts = self._setup()
+        nrm = jnp.zeros((1, 32, 32, 3)).at[..., 2].set(-1.0)
+        half = nrm * 0.5  # |nc| = 0.5 → weights halved, mean unchanged
+        cfg = TSDFConfig(trunc_margin=0.1, weight_by_normal_consistency=True)
+        out = integrate_views(pts, cams, img, depth, cfg,
+                              normals=nrm, reference_normals=half)
+        base = integrate_views(pts, cams, img, depth,
+                               TSDFConfig(trunc_margin=0.1))
+        np.testing.assert_allclose(out.tsdf, base.tsdf, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.weights),
+                                   np.asarray(base.weights) * 0.5, atol=1e-6)
+
+    def test_nearest_interpolation_mode(self):
+        cams, depth, img, pts = self._setup()
+        # Constant depth: nearest == bilinear; just exercise the branch.
+        cfg = TSDFConfig(trunc_margin=0.1, interpolation_mode="nearest")
+        out = integrate_views(pts, cams, img, depth, cfg)
+        np.testing.assert_allclose(np.asarray(out.tsdf), [0.3, -0.3],
+                                   atol=1e-5)
+
+    def test_sdf_tolerance(self):
+        from g4splat_tpu.ops.tsdf import apply_sdf_tolerance
+
+        depth = jnp.full((8, 8), 2.0)
+        out = apply_sdf_tolerance(depth, focal=32.0, tolerance_px=1.5,
+                                  max_tolerance=1e8)
+        np.testing.assert_allclose(np.asarray(out), 2.0 - 1.5 / 32.0 * 2.0,
+                                   atol=1e-6)
+        out = apply_sdf_tolerance(depth, focal=32.0, tolerance_px=1.5,
+                                  max_tolerance=0.01)
+        np.testing.assert_allclose(np.asarray(out), 1.99, atol=1e-6)
+
+    def test_dilated_depth_moves_surface_toward_camera(self):
+        from g4splat_tpu.ops.tsdf import dilate_depth_along_normals
+
+        cam = lookat_camera([0, 0, 0], [0, 0, 1], [0, -1, 0],
+                            fx=32.0, fy=32.0, width=32, height=32)
+        depth = jnp.full((32, 32), 2.0)
+        rgb = jnp.ones((32, 32, 3)) * 0.5
+        nd, nr = dilate_depth_along_normals(cam, depth, rgb,
+                                            dilation_px=1.5,
+                                            max_dilation=1e8)
+        nd = np.asarray(nd)
+        # Fronto-parallel plane, normals toward camera: depth shrinks by
+        # ~dilation_px/focal·depth in the interior.
+        interior = nd[8:-8, 8:-8]
+        expect = 2.0 - 1.5 / 32.0 * 2.0
+        np.testing.assert_allclose(interior, expect, atol=0.02)
+        assert np.isfinite(np.asarray(nr)).all()
+
+
+class TestClusterFilter:
+    def test_keeps_largest(self):
+        from g4splat_tpu.pipeline.mesh_extraction import (
+            ExtractedMesh,
+            keep_largest_clusters,
+        )
+
+        # Blob A: 3 triangles sharing edges; blob B: 1 isolated triangle.
+        verts = np.array([
+            [0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0], [2, 0, 0],
+            [5, 5, 5], [6, 5, 5], [5, 6, 5],
+        ], np.float32)
+        faces = np.array([
+            [0, 1, 2], [1, 3, 2], [1, 4, 3],   # blob A
+            [5, 6, 7],                          # blob B
+        ], np.int32)
+        mesh = ExtractedMesh(verts, faces, np.zeros((8, 3), np.float32))
+        out = keep_largest_clusters(mesh, cluster_to_keep=1, min_triangles=2)
+        assert len(out.faces) == 3
+        assert len(out.vertices) == 5
+        assert out.faces.max() < len(out.vertices)
+
+    def test_small_mesh_untouched(self):
+        from g4splat_tpu.pipeline.mesh_extraction import (
+            ExtractedMesh,
+            keep_largest_clusters,
+        )
+
+        verts = np.zeros((3, 3), np.float32)
+        faces = np.array([[0, 1, 2]], np.int32)
+        mesh = ExtractedMesh(verts, faces, None)
+        out = keep_largest_clusters(mesh)  # default min_triangles=50
+        assert len(out.faces) == 1
+
+
 def sphere_scene(n=800, r=0.5, seed=0):
     rng = np.random.RandomState(seed)
     d = rng.randn(n, 3)
