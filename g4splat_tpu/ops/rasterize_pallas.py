@@ -60,6 +60,38 @@ COMB_F = 24                 # rows 0-8 Tu/Tv/Tw, 9-10 center, 11 opacity,
                             # 12-14 rgb, 15-17 normal, 18-23 pad (3×8 sublanes)
 GEOM_F = 16                 # legacy geometry row budget (bwd kernel scratch)
 VAL_F = 8                   # r g b nx ny nz (pad to 8) — output channel count
+# Prefix/suffix scan implementation inside the kernels: "matmul" = triangular
+# (CHUNK, CHUNK) matmul on the MXU at HIGHEST, "cumsum" = log-step lane-shift
+# scan on the VPU (jnp.cumsum itself has no Pallas TPU lowering). Module-level
+# so sweep scripts can A/B with a fresh jit; the production default is
+# whichever measured faster on-chip.
+# Measured on-chip (scripts/sweep_scan.py, 200k splats / 768×576): the
+# lane-shift scan LOSES — fwd aux 26.0 ms vs 16.0, bwd 36.2 vs 22.3 (each
+# shifted add's lane-concatenate is a relayout, not a cheap permute); slim
+# (single-scan) is a wash (11.3 vs 11.5). Keep "matmul".
+SCAN_MODE = "matmul"
+
+
+def _scan_incl(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along lanes (axis 1) via log₂(n) shifted adds."""
+    n = x.shape[1]
+    s = 1
+    while s < n:
+        x = x + jnp.concatenate(
+            [jnp.zeros_like(x[:, :s]), x[:, :-s]], axis=1)
+        s *= 2
+    return x
+
+
+def _scan_incl_rev(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive suffix sum along lanes (Σ_{j≥k}) via shifted adds."""
+    n = x.shape[1]
+    s = 1
+    while s < n:
+        x = x + jnp.concatenate(
+            [x[:, s:], jnp.zeros_like(x[:, :s])], axis=1)
+        s *= 2
+    return x
 
 
 def _pack_entries(prep: Preprocessed, gid: jnp.ndarray, entry_valid: jnp.ndarray,
@@ -287,16 +319,19 @@ def _render_one_tile(
         live = pz_ok & (z >= near) & (alpha >= ALPHA_EPS)
         alpha = jnp.where(live, alpha, 0.0)
 
-        # ONE log-space triangular matmul gives the inclusive prefix of
-        # the RAW alphas; the oracle's early-stop set {T_raw_incl < eps}
-        # is a *global* suffix of that raw cumprod, so on the kept prefix
+        # ONE log-space inclusive prefix scan gives the cumprod of the RAW
+        # alphas; the oracle's early-stop set {T_raw_incl < eps} is a
+        # *global* suffix of that raw cumprod, so on the kept prefix
         # raw == effective and the exclusive prefix is T_incl/(1−α) —
         # no second scan needed, and the contributor set is a prefix
         # (which the backward kernel reconstructs from n_contrib).
         log_om = jnp.log1p(-alpha)
-        cum_incl = jnp.dot(log_om, ut_incl,
-                           preferred_element_type=jnp.float32,
-                           precision=HI)
+        if SCAN_MODE == "cumsum":
+            cum_incl = _scan_incl(log_om)
+        else:
+            cum_incl = jnp.dot(log_om, ut_incl,
+                               preferred_element_type=jnp.float32,
+                               precision=HI)
         T_incl = T_col * jnp.exp(cum_incl)
         skip = T_incl < T_EPS
         # exp(cum_incl − log_om) would be a second transcendental pass;
@@ -341,9 +376,14 @@ def _render_one_tile(
             m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
             mw = m * w
             m2w = m * m * w
-            ut_excl = (rowe < cole).astype(jnp.float32)
-            cs2 = jnp.dot(jnp.concatenate([mw, m2w], axis=0), ut_excl,
-                          preferred_element_type=jnp.float32, precision=HI)
+            if SCAN_MODE == "cumsum":
+                both = jnp.concatenate([mw, m2w], axis=0)
+                cs2 = _scan_incl(both) - both           # exclusive
+            else:
+                ut_excl = (rowe < cole).astype(jnp.float32)
+                cs2 = jnp.dot(jnp.concatenate([mw, m2w], axis=0), ut_excl,
+                              preferred_element_type=jnp.float32,
+                              precision=HI)
             cs_mw = cs2[:NPIX]
             cs_m2w = cs2[NPIX:]
             M1_col = aux_ref[:, 2:3]
@@ -567,21 +607,28 @@ def _render_pallas_bwd(static, res, cts):
     (g_color, g_alpha, g_normal, g_depth_acc, g_med, g_dist, g_finT,
      _g_ncontrib, _g_m1, _g_m2) = cts
 
-    def f32(x, ch=None):
-        x = jnp.asarray(x, jnp.float32)
-        return x
+    def f32(x):
+        return jnp.asarray(x, jnp.float32)
 
-    cot = jnp.zeros((n_tiles, NPIX, 16), jnp.float32)
-    cot = cot.at[..., 0:3].set(_disassemble(f32(g_color), gx, gy, width, height))
-    cot = cot.at[..., 3:6].set(_disassemble(f32(g_normal), gx, gy, width, height))
-    cot = cot.at[..., 6].set(_disassemble(f32(g_depth_acc), gx, gy, width, height))
-    # final_T output cotangent folds into the alpha channel's gT_end with
-    # opposite sign: gT_end = bg·gC − gA + gFinT  ⇒  pass gA − gFinT.
-    cot = cot.at[..., 7].set(
-        _disassemble(f32(g_alpha) - f32(g_finT), gx, gy, width, height)
+    # ONE (H, W, 16) channel concat + ONE tile relayout: the previous
+    # per-map _disassemble + .at[].set chain rewrote the 28 MB cot buffer
+    # once per map (~11 ms/frame of the backward path at 768×576).
+    cot_img = jnp.concatenate(
+        [
+            f32(g_color),                                   # 0:3
+            f32(g_normal),                                  # 3:6
+            f32(g_depth_acc)[..., None],                    # 6
+            # final_T output cotangent folds into the alpha channel's
+            # gT_end with opposite sign: gT_end = bg·gC − gA + gFinT ⇒
+            # pass gA − gFinT.
+            (f32(g_alpha) - f32(g_finT))[..., None],        # 7
+            f32(g_dist)[..., None],                         # 8
+            f32(g_med)[..., None],                          # 9
+            jnp.zeros(g_dist.shape + (6,), jnp.float32),    # 10:16 pad
+        ],
+        axis=-1,
     )
-    cot = cot.at[..., 8].set(_disassemble(f32(g_dist), gx, gy, width, height))
-    cot = cot.at[..., 9].set(_disassemble(f32(g_med), gx, gy, width, height))
+    cot = _disassemble(cot_img, gx, gy, width, height)
 
     dcomb = rasterize_backward_pallas(
         comb, binning.tile_start, binning.tile_count, cot, aux_tail,

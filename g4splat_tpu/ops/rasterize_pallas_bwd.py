@@ -63,7 +63,14 @@ from g4splat_tpu.ops.rasterize_common import (
     T_EPS,
     TILE,
 )
+from g4splat_tpu.ops import rasterize_pallas as _fwd
 from g4splat_tpu.ops.rasterize_pallas import CHUNK, COMB_F, NPIX
+
+
+def _suffix_incl(x):
+    """Inclusive suffix sum along lanes (Σ_{j≥k}); scan-mode switched like
+    the forward kernel (rasterize_pallas.SCAN_MODE)."""
+    return _fwd._scan_incl_rev(x)
 
 MAX_CHUNKS_PER_TILE = 64   # gradient support cap: 8192 depth-sorted entries
 WSLOTS = 8                 # write-pipeline depth (see _bwd_kernel notes)
@@ -346,9 +353,12 @@ def _bwd_one_tile(
         # Unwind transmittance from the back (the CUDA replay): incoming
         # T at entry k = T_out_of_chunk / Π_{j≥k}(1−α_j).
         log_om = jnp.log1p(-alpha_eff)
-        S_log = jnp.dot(log_om, ge_incl,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+        if _fwd.SCAN_MODE == "cumsum":
+            S_log = _suffix_incl(log_om)
+        else:
+            S_log = jnp.dot(log_om, ge_incl,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         T_out = state_ref[:, 5:6]
         T_k = T_out * jnp.exp(-S_log)
         w = alpha_eff * T_k
@@ -364,12 +374,16 @@ def _bwd_one_tile(
         # bf16 and the suffix-sum operands only feed gradients (≤0.4%
         # input rounding, well under the 2e-2 parity gate), so the MXU
         # runs single-pass instead of HIGHEST's 3-pass f32 emulation.
-        S4 = jnp.dot(
-            jnp.concatenate([w, mw, m2w, wm2T], axis=0)
-            .astype(jnp.bfloat16),
-            lt_bf16,
-            preferred_element_type=jnp.float32,
-        )
+        if _fwd.SCAN_MODE == "cumsum":
+            stk = jnp.concatenate([w, mw, m2w, wm2T], axis=0)
+            S4 = _suffix_incl(stk) - stk               # strict (j>k)
+        else:
+            S4 = jnp.dot(
+                jnp.concatenate([w, mw, m2w, wm2T], axis=0)
+                .astype(jnp.bfloat16),
+                lt_bf16,
+                preferred_element_type=jnp.float32,
+            )
         S_w_in = state_ref[:, 1:2]
         S_mw_in = state_ref[:, 2:3]
         S_m2w_in = state_ref[:, 6:7]
@@ -398,8 +412,11 @@ def _bwd_one_tile(
         )
         wu = w * u
         S_wu_in = state_ref[:, 0:1]
-        S_wu = S_wu_in + jnp.dot(wu.astype(jnp.bfloat16), lt_bf16,
-                                 preferred_element_type=jnp.float32)
+        if _fwd.SCAN_MODE == "cumsum":
+            S_wu = S_wu_in + (_suffix_incl(wu) - wu)
+        else:
+            S_wu = S_wu_in + jnp.dot(wu.astype(jnp.bfloat16), lt_bf16,
+                                     preferred_element_type=jnp.float32)
 
         one_m_a = jnp.maximum(1.0 - alpha_eff, 1e-3)
         dL_da = T_k * u + (

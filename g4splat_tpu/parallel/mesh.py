@@ -120,6 +120,7 @@ def view_parallel_render(
     backend: str = "pallas",
     keys: Sequence[str] = ("render", "rend_alpha", "rend_normal",
                            "surf_depth"),
+    depth_ratio: float = 0.0,
 ):
     """Render a batch of views with each device rendering its view shard.
 
@@ -143,7 +144,8 @@ def view_parallel_render(
             f"views ({n_views}) must divide over the data axis ({n_data})"
         )
 
-    outs = _view_parallel_fn(mesh, backend, tuple(keys))(scene, cameras)
+    outs = _view_parallel_fn(mesh, backend, tuple(keys),
+                             float(depth_ratio))(scene, cameras)
     return dict(zip(keys, outs))
 
 
@@ -234,11 +236,16 @@ def _tile_parallel_fn(mesh: Mesh, backend: str, keys: tuple, strip_h: int,
 
 
 @_functools.lru_cache(maxsize=32)
-def _view_parallel_fn(mesh: Mesh, backend: str, keys: tuple):
-    """Compiled sharded render, cached on (mesh, backend, keys): jit caches
-    on function identity, so rebuilding the closure per call would re-trace
-    and recompile the whole sharded render at every render_all/TSDF sweep."""
+def _view_parallel_fn(mesh: Mesh, backend: str, keys: tuple,
+                      depth_ratio: float = 0.0):
+    """Compiled sharded render, cached on (mesh, backend, keys, depth_ratio):
+    jit caches on function identity, so rebuilding the closure per call would
+    re-trace and recompile the whole sharded render at every render_all/TSDF
+    sweep."""
     from g4splat_tpu.ops.rasterize import render
+    from g4splat_tpu.ops.rasterize_common import RenderConfig
+
+    cfg = RenderConfig(depth_ratio=depth_ratio)
 
     @jax.jit
     @partial(
@@ -252,7 +259,7 @@ def _view_parallel_fn(mesh: Mesh, backend: str, keys: tuple):
 
         def one(i):
             cam = jax.tree.map(lambda x: x[i], cams)
-            out = render(cam, scene, backend=backend)
+            out = render(cam, scene, config=cfg, backend=backend)
             return tuple(out[k] for k in keys)
 
         return jax.lax.map(one, jnp.arange(b))
