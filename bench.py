@@ -60,35 +60,15 @@ def main():
     # the same effect from XLA dead-code elimination of the unused outputs.
     # Both binning variants are parity-tested (tests/test_rasterize.py::
     # TestDepthRankBinning); whichever is faster on this chip wins.
+    # All candidates are output-identical (row-compacted binning is exact —
+    # drops are counted and the parity tests cover every variant); the race
+    # just picks the fastest on this chip.
     candidates = [
         ("pallas", "", RenderConfig()),
+        ("pallas", "_noprune", RenderConfig(tile_ellipse_prune=False)),
         ("pallas", "_rankbin", RenderConfig(depth_rank_binning=True)),
         ("tiled", "", RenderConfig()),
     ]
-
-    # A halved candidate-tile cap halves the binning sort, and is EXACT iff
-    # no splat in this scene touches more than 8 tiles — proven by the
-    # binning's own drop counter (tests/test_rasterize.py::TestTileCap).
-    # Only then does the variant enter the race.
-    try:
-        from g4splat_tpu.ops.rasterize_common import preprocess
-        from g4splat_tpu.ops.rasterize_tiled import bin_splats
-
-        prep = jax.jit(lambda s: preprocess(
-            cam, xyz=s.xyz, scaling=s.scaling(), rotation_raw=s.rotation_raw,
-            opacity=s.opacity(), features=s.features(),
-            sh_degree=s.active_sh_degree, config=RenderConfig()))(scene)
-        drops = int(jax.jit(lambda p: bin_splats(
-            p, W, H, max_tiles_per_splat=8).n_dropped)(prep))
-        if drops == 0:
-            candidates[1:1] = [
-                ("pallas", "_cap8", RenderConfig(max_tiles_per_splat=8)),
-                ("pallas", "_rankbin_cap8",
-                 RenderConfig(depth_rank_binning=True, max_tiles_per_splat=8)),
-            ]
-    except Exception as e:  # noqa: BLE001
-        print(f"# cap8 gate check failed: {type(e).__name__}: {e}",
-              file=sys.stderr)
     best = None  # (fps, backend, variant)
     for backend, variant, config in candidates:
         if best is not None and backend != best[1]:

@@ -97,7 +97,8 @@ def render(
                          buf_size=buf,
                          rows_are_depth_ranks=rank_mode,
                          max_tiles_per_splat=config.max_tiles_per_splat,
-                         ellipse_prune=config.tile_ellipse_prune)
+                         ellipse_prune=config.tile_ellipse_prune,
+                         compact_width=config.binning_compact_width)
         )
     elif backend == "pallas":
         from g4splat_tpu.ops.rasterize_pallas import render_pallas
@@ -111,7 +112,9 @@ def render(
                           buf_size=buf,
                           rows_are_depth_ranks=rank_mode,
                           max_tiles_per_splat=config.max_tiles_per_splat,
-                          ellipse_prune=config.tile_ellipse_prune)
+                          ellipse_prune=config.tile_ellipse_prune,
+                          compact_width=config.binning_compact_width,
+                          want_dist=config.compute_distortion)
         )
     else:
         raise ValueError(f"unknown backend {backend!r}")

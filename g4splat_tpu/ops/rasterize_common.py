@@ -81,6 +81,22 @@ class RenderConfig:
     # With ellipse pruning the mean entries/splat drops ~24%, so smaller
     # factors fit more scenes — measure with scripts/sweep_train.py.
     buf_factor: int = struct.field(pytree_node=False, default=4)
+    # Compute the 2DGS depth-distortion channel (rend_dist + its moment
+    # bookkeeping). The reference's production default is lambda_dist = 0.0
+    # (2d-gaussian-splatting/arguments/__init__.py:86), so the trainer turns
+    # this off statically when the loss weight is zero: the pallas kernels
+    # then skip the distortion-moment prefix/suffix scans (~1/3 of forward
+    # matmul work, 3 of 4 backward suffix-scan rows) and rend_dist/dist_m1/
+    # dist_m2 come back as zeros with zero gradient — numerically identical
+    # to multiplying the full channel by λ=0.
+    compute_distortion: bool = struct.field(pytree_node=False, default=True)
+    # Row-compacted binning (rasterize_tiled._compact_candidates): per-splat
+    # candidate rows are lane-sorted so the global (tile, depth) sort runs on
+    # P·width + overflow keys instead of P·cap — ~2× fewer at width = cap/2,
+    # and the sort is the binning's dominant cost. Output-identical while the
+    # static overflow block holds every splat with more than `width` real
+    # candidate tiles (excess counted in n_dropped). 0 disables.
+    binning_compact_width: int = struct.field(pytree_node=False, default=8)
 
 
 @struct.dataclass

@@ -146,7 +146,7 @@ def _render_kernel(
     # scratch
     comb_vmem, acc_ref, aux_ref, copy_sem,
     *, near: float, far: float, n_chunks_max: int, want_aux: bool = True,
-    group: int = 1,
+    want_dist: bool = True, group: int = 1,
 ):
     # `group` tiles share one grid step: the per-step fixed cost (window
     # bookkeeping + output swap) measured 4.8 µs/tile — 8.4 ms/frame at
@@ -174,6 +174,7 @@ def _render_kernel(
             out_vals_ref, out_aux_ref, comb_vmem, acc_ref, aux_ref, copy_sem,
             lin, rowe, cole, ut_incl, eidx, HI,
             near=near, far=far, n_chunks_max=n_chunks_max, want_aux=want_aux,
+            want_dist=want_dist,
         )
 
 
@@ -183,6 +184,7 @@ def _render_one_tile(
     out_vals_ref, out_aux_ref, comb_vmem, acc_ref, aux_ref, copy_sem,
     lin, rowe, cole, ut_incl, eidx, HI,
     *, near: float, far: float, n_chunks_max: int, want_aux: bool,
+    want_dist: bool = True,
 ):
     start = tile_start_ref[t]
     count = tile_count_ref[t]
@@ -370,7 +372,7 @@ def _render_one_tile(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=HI,
             )
-        if want_aux:
+        if want_aux and want_dist:
             # Per-entry distortion rows (2DGS appendix;
             # forward.cu:392-400).
             m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
@@ -399,6 +401,7 @@ def _render_one_tile(
                                 + mw[:, CHUNK - 1 : CHUNK])
             aux_ref[:, 3:4] += (cs_m2w[:, CHUNK - 1 : CHUNK]
                                 + m2w[:, CHUNK - 1 : CHUNK])
+        if want_aux:
             # n_contrib (1-based global index of last contributor).
             lastc = jnp.max(
                 jnp.where(contrib, gpos_row - start + 1, 0),
@@ -471,7 +474,7 @@ def _render_one_tile(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "near", "far", "n_chunks_max",
-                     "want_aux"),
+                     "want_aux", "want_dist"),
 )
 def _rasterize_tiles_pallas(
     comb: jnp.ndarray,        # (COMB_F, E) sorted, E multiple of CHUNK
@@ -484,6 +487,7 @@ def _rasterize_tiles_pallas(
     far: float,
     n_chunks_max: int,
     want_aux: bool = True,
+    want_dist: bool = True,
 ):
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
@@ -528,7 +532,7 @@ def _rasterize_tiles_pallas(
     out_vals, out_aux = pl.pallas_call(
         functools.partial(
             _render_kernel, near=near, far=far, n_chunks_max=n_chunks_max,
-            want_aux=want_aux, group=group,
+            want_aux=want_aux, want_dist=want_dist, group=group,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -550,24 +554,27 @@ def _assemble(flat: jnp.ndarray, gx: int, gy: int, width: int, height: int):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _render_pallas_diff(static, prep: Preprocessed, bg: jnp.ndarray):
-    """Differentiable wrapper: Pallas kernels forward, XLA AD of the
-    math-identical tiled path backward (recompute; a dedicated back-to-front
-    Pallas backward kernel is the planned replacement)."""
-    width, height, near, far, rank_mode, cap, eprune, buf_size = static
+    """Differentiable wrapper: Pallas kernels forward, dedicated
+    back-to-front Pallas backward kernel (rasterize_pallas_bwd)."""
+    (width, height, near, far, rank_mode, cap, eprune, buf_size,
+     compact_w, want_dist) = static
     return _render_pallas_impl(width, height, prep, bg, near, far,
                                buf_size=buf_size,
                                rows_are_depth_ranks=rank_mode,
                                max_tiles_per_splat=cap,
-                               ellipse_prune=eprune)
+                               ellipse_prune=eprune,
+                               compact_width=compact_w,
+                               want_dist=want_dist)
 
 
 def _render_pallas_fwd(static, prep, bg):
-    width, height, near, far, rank_mode, cap, eprune, buf_size = static
+    (width, height, near, far, rank_mode, cap, eprune, buf_size,
+     compact_w, want_dist) = static
     outputs, residuals = _render_pallas_impl(
         width, height, prep, bg, near, far, return_residuals=True,
         buf_size=buf_size,
         rows_are_depth_ranks=rank_mode, max_tiles_per_splat=cap,
-        ellipse_prune=eprune,
+        ellipse_prune=eprune, compact_width=compact_w, want_dist=want_dist,
     )
     return outputs, (prep, bg, residuals)
 
@@ -593,7 +600,8 @@ def _render_pallas_bwd(static, res, cts):
         rasterize_backward_pallas,
     )
 
-    width, height, near, far, _rank_mode, _cap, _eprune, _buf = static
+    (width, height, near, far, _rank_mode, _cap, _eprune, _buf,
+     _compact_w, want_dist) = static
     prep, bg, residuals = res
     binning, comb, entry_valid, aux_tail = residuals
     gid = binning.gauss_id
@@ -633,6 +641,7 @@ def _render_pallas_bwd(static, res, cts):
     dcomb = rasterize_backward_pallas(
         comb, binning.tile_start, binning.tile_count, cot, aux_tail,
         jnp.asarray(bg, jnp.float32)[:3], width, height, near, far,
+        want_dist=want_dist,
     )
 
     # Entries past the per-tile gradient-support cap never got written.
@@ -685,6 +694,8 @@ def render_pallas(
     rows_are_depth_ranks: bool = False,
     max_tiles_per_splat: int = 16,
     ellipse_prune: bool = True,
+    compact_width: int = 8,
+    want_dist: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     if not need_aux:
         # Inference path (render_all / eval / TSDF sweeps / bench): skips the
@@ -696,11 +707,12 @@ def render_pallas(
             buf_size=buf_size,
             want_aux=False, rows_are_depth_ranks=rows_are_depth_ranks,
             max_tiles_per_splat=max_tiles_per_splat,
-            ellipse_prune=ellipse_prune,
+            ellipse_prune=ellipse_prune, compact_width=compact_width,
         )
     return _render_pallas_diff(
         (camera.width, camera.height, near, far, rows_are_depth_ranks,
-         max_tiles_per_splat, ellipse_prune, buf_size),
+         max_tiles_per_splat, ellipse_prune, buf_size, compact_width,
+         want_dist),
         prep, bg,
     )
 
@@ -718,13 +730,16 @@ def _render_pallas_impl(
     rows_are_depth_ranks: bool = False,
     max_tiles_per_splat: int = 16,
     ellipse_prune: bool = True,
+    compact_width: int = 8,
+    want_dist: bool = True,
 ) -> Tuple[jnp.ndarray, ...]:
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
     binning = bin_splats(prep, width, height, buf_size=buf_size,
                          max_tiles_per_splat=max_tiles_per_splat,
                          rows_are_depth_ranks=rows_are_depth_ranks,
-                         ellipse_prune=ellipse_prune)
+                         ellipse_prune=ellipse_prune,
+                         compact_width=compact_width)
     n_tiles = gx * gy
     entry_valid = binning.tile_id < n_tiles
     comb = _pack_entries(prep, binning.gauss_id, entry_valid,
@@ -735,22 +750,49 @@ def _render_pallas_impl(
     n_chunks_max = comb.shape[1] // CHUNK
     out_vals, out_aux = _rasterize_tiles_pallas(
         comb, binning.tile_start, binning.tile_count, bg,
-        width, height, near, far, n_chunks_max, want_aux,
+        width, height, near, far, n_chunks_max, want_aux, want_dist,
     )
     # ONE fused tile→image relayout for all 14 channels (separate _assemble
-    # transposes re-walk the same HBM once per channel group).
-    both = jnp.concatenate([out_vals[..., 0:6], out_aux], axis=-1)
+    # transposes re-walk the same HBM once per channel group). Channels the
+    # selected kernel mode leaves at zero (dist/M1/M2 without want_dist;
+    # additionally n_contrib on the slim kernel) are not relaid out.
+    zero = jnp.zeros((height, width), jnp.float32)
+    if want_aux and want_dist:
+        both = jnp.concatenate([out_vals[..., 0:6], out_aux], axis=-1)
+    elif want_aux:
+        both = jnp.concatenate(
+            [out_vals[..., 0:6], out_aux[..., 0:2], out_aux[..., 3:6]],
+            axis=-1)
+    else:
+        both = jnp.concatenate(
+            [out_vals[..., 0:6], out_aux[..., 0:2], out_aux[..., 3:5]],
+            axis=-1)
     img = _assemble(both, gx, gy, width, height)
     color = img[..., 0:3]
     normal = img[..., 3:6]
     depth_acc = img[..., 6]
     alpha = img[..., 7]
-    dist = img[..., 8]
-    med = img[..., 9]
-    final_T = img[..., 10]
-    n_contrib = img[..., 11].astype(jnp.int32)
-    m1_tot = img[..., 12]
-    m2_tot = img[..., 13]
+    if want_aux and want_dist:
+        dist = img[..., 8]
+        med = img[..., 9]
+        final_T = img[..., 10]
+        n_contrib = img[..., 11].astype(jnp.int32)
+        m1_tot = img[..., 12]
+        m2_tot = img[..., 13]
+    elif want_aux:
+        dist = zero
+        med = img[..., 8]
+        final_T = img[..., 9]
+        n_contrib = img[..., 10].astype(jnp.int32)
+        m1_tot = zero
+        m2_tot = zero
+    else:
+        dist = zero
+        med = img[..., 8]
+        final_T = img[..., 9]
+        n_contrib = zero.astype(jnp.int32)
+        m1_tot = zero
+        m2_tot = zero
     outputs = (color, alpha, normal, depth_acc, med, dist, final_T, n_contrib,
                m1_tot, m2_tot)
     if return_residuals:

@@ -222,7 +222,7 @@ def _bwd_kernel(
     dcomb_hbm,
     # scratch
     comb_vmem, dcomb_vmem, old_d, state_ref, copy_sem, wr_sem, rmw_sem,
-    *, near: float, far: float, group: int = 1,
+    *, near: float, far: float, group: int = 1, want_dist: bool = True,
 ):
     del dinit_hbm
     # `group` tiles per grid step (same rationale as the forward kernel: the
@@ -245,7 +245,7 @@ def _bwd_kernel(
             comb_hbm, cot_ref, aux_ref, bg_ref, dcomb_hbm,
             comb_vmem, dcomb_vmem, old_d, state_ref, copy_sem, wr_sem,
             rmw_sem, lin, ge_incl, lt_bf16, eidx,
-            near=near, far=far,
+            near=near, far=far, want_dist=want_dist,
         )
 
 
@@ -255,7 +255,7 @@ def _bwd_one_tile(
     comb_hbm, cot_ref, aux_ref, bg_ref, dcomb_hbm,
     comb_vmem, dcomb_vmem, old_d, state_ref, copy_sem, wr_sem, rmw_sem,
     lin, ge_incl, lt_bf16, eidx,
-    *, near: float, far: float,
+    *, near: float, far: float, want_dist: bool = True,
 ):
     start = tile_start_ref[t]
     count = tile_count_ref[t]
@@ -362,41 +362,6 @@ def _bwd_one_tile(
         T_out = state_ref[:, 5:6]
         T_k = T_out * jnp.exp(-S_log)
         w = alpha_eff * T_k
-        m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
-        mw = m * w
-        m2w = m * m * w
-        wm2T = w * m * m * T_k
-
-        # Suffix sums across chunks (strict within chunk + carried).
-        # Every u-independent scan rides ONE tall stacked matmul — the
-        # MXU prefers (4·NPIX, CHUNK)@(CHUNK, CHUNK) over four dispatches.
-        # bf16 operands + f32 accumulation: the 0/1 triangle is exact in
-        # bf16 and the suffix-sum operands only feed gradients (≤0.4%
-        # input rounding, well under the 2e-2 parity gate), so the MXU
-        # runs single-pass instead of HIGHEST's 3-pass f32 emulation.
-        if _fwd.SCAN_MODE == "cumsum":
-            stk = jnp.concatenate([w, mw, m2w, wm2T], axis=0)
-            S4 = _suffix_incl(stk) - stk               # strict (j>k)
-        else:
-            S4 = jnp.dot(
-                jnp.concatenate([w, mw, m2w, wm2T], axis=0)
-                .astype(jnp.bfloat16),
-                lt_bf16,
-                preferred_element_type=jnp.float32,
-            )
-        S_w_in = state_ref[:, 1:2]
-        S_mw_in = state_ref[:, 2:3]
-        S_m2w_in = state_ref[:, 6:7]
-        S_wm2T_in = state_ref[:, 3:4]
-        S_w = S_w_in + S4[0 * NPIX:1 * NPIX]
-        S_mw = S_mw_in + S4[1 * NPIX:2 * NPIX]
-        S_m2w = S_m2w_in + S4[2 * NPIX:3 * NPIX]
-        S_wm2T = S_wm2T_in + S4[3 * NPIX:4 * NPIX]
-
-        # Prefix moments from the saved totals minus inclusive suffixes.
-        M1_k = M1_tot - (S_mw + mw)
-        M2_k = M2_tot - (S_m2w + m2w)
-        A_k = 1.0 - T_k
 
         # u's color+normal term cgC + ngN is a single stacked
         # (NPIX, 6)@(6, CHUNK) bf16 matmul — the two are summed anyway.
@@ -406,10 +371,53 @@ def _bwd_one_tile(
             preferred_element_type=jnp.float32,
         )
 
-        P_k = m * m * A_k + M2_k - 2.0 * m * M1_k
-        u = cgn + z * gD + gdist * (
-            P_k + m * m * S_w - 2.0 * m * S_mw
-        )
+        if want_dist:
+            m = far / (far - near) * (1.0 - near / jnp.maximum(z, 1e-8))
+            mw = m * w
+            m2w = m * m * w
+            wm2T = w * m * m * T_k
+
+            # Suffix sums across chunks (strict within chunk + carried).
+            # Every u-independent scan rides ONE tall stacked matmul — the
+            # MXU prefers (4·NPIX, CHUNK)@(CHUNK, CHUNK) over four
+            # dispatches. bf16 operands + f32 accumulation: the 0/1
+            # triangle is exact in bf16 and the suffix-sum operands only
+            # feed gradients (≤0.4% input rounding, well under the 2e-2
+            # parity gate), so the MXU runs single-pass instead of
+            # HIGHEST's 3-pass f32 emulation.
+            if _fwd.SCAN_MODE == "cumsum":
+                stk = jnp.concatenate([w, mw, m2w, wm2T], axis=0)
+                S4 = _suffix_incl(stk) - stk           # strict (j>k)
+            else:
+                S4 = jnp.dot(
+                    jnp.concatenate([w, mw, m2w, wm2T], axis=0)
+                    .astype(jnp.bfloat16),
+                    lt_bf16,
+                    preferred_element_type=jnp.float32,
+                )
+            S_w_in = state_ref[:, 1:2]
+            S_mw_in = state_ref[:, 2:3]
+            S_m2w_in = state_ref[:, 6:7]
+            S_wm2T_in = state_ref[:, 3:4]
+            S_w = S_w_in + S4[0 * NPIX:1 * NPIX]
+            S_mw = S_mw_in + S4[1 * NPIX:2 * NPIX]
+            S_m2w = S_m2w_in + S4[2 * NPIX:3 * NPIX]
+            S_wm2T = S_wm2T_in + S4[3 * NPIX:4 * NPIX]
+
+            # Prefix moments from saved totals minus inclusive suffixes.
+            M1_k = M1_tot - (S_mw + mw)
+            M2_k = M2_tot - (S_m2w + m2w)
+            A_k = 1.0 - T_k
+
+            P_k = m * m * A_k + M2_k - 2.0 * m * M1_k
+            u = cgn + z * gD + gdist * (
+                P_k + m * m * S_w - 2.0 * m * S_mw
+            )
+        else:
+            # λ_dist = 0 statically ⇒ the gdist cotangent is numerically
+            # zero: every distortion suffix/moment term vanishes, and the
+            # only suffix scans left are S_log (above) and S_wu (below).
+            u = cgn + z * gD
         wu = w * u
         S_wu_in = state_ref[:, 0:1]
         if _fwd.SCAN_MODE == "cumsum":
@@ -419,14 +427,18 @@ def _bwd_one_tile(
                                      preferred_element_type=jnp.float32)
 
         one_m_a = jnp.maximum(1.0 - alpha_eff, 1e-3)
-        dL_da = T_k * u + (
-            -S_wu - gT_end * T_end + gdist * S_wm2T
-        ) / one_m_a
-        dL_dm = gdist * w * (
-            2.0 * m * A_k - 2.0 * M1_k + 2.0 * m * S_w - 2.0 * S_mw
-        )
-        dm_dz = far * near / ((far - near) * jnp.maximum(z, 1e-8) ** 2)
-        dL_dz = w * gD + dL_dm * dm_dz
+        if want_dist:
+            dL_da = T_k * u + (
+                -S_wu - gT_end * T_end + gdist * S_wm2T
+            ) / one_m_a
+            dL_dm = gdist * w * (
+                2.0 * m * A_k - 2.0 * M1_k + 2.0 * m * S_w - 2.0 * S_mw
+            )
+            dm_dz = far * near / ((far - near) * jnp.maximum(z, 1e-8) ** 2)
+            dL_dz = w * gD + dL_dm * dm_dz
+        else:
+            dL_da = T_k * u + (-S_wu - gT_end * T_end) / one_m_a
+            dL_dz = w * gD
 
         # Median-depth gradient to the last T>0.5 contributor.
         contrib = alpha_eff > 0.0
@@ -519,10 +531,11 @@ def _bwd_one_tile(
         # Carries: totals = strict-suffix col 0 + element 0, all sliced in
         # the native compute layout (no relayouts).
         state_ref[:, 0:1] = S_wu[:, 0:1] + wu[:, 0:1]
-        state_ref[:, 1:2] = S_w[:, 0:1] + w[:, 0:1]
-        state_ref[:, 2:3] = S_mw[:, 0:1] + mw[:, 0:1]
-        state_ref[:, 3:4] = S_wm2T[:, 0:1] + wm2T[:, 0:1]
-        state_ref[:, 6:7] = S_m2w[:, 0:1] + m2w[:, 0:1]
+        if want_dist:
+            state_ref[:, 1:2] = S_w[:, 0:1] + w[:, 0:1]
+            state_ref[:, 2:3] = S_mw[:, 0:1] + mw[:, 0:1]
+            state_ref[:, 3:4] = S_wm2T[:, 0:1] + wm2T[:, 0:1]
+            state_ref[:, 6:7] = S_m2w[:, 0:1] + m2w[:, 0:1]
         state_ref[:, 5:6] = T_out * jnp.exp(-S_log[:, 0:1])
 
         return 0
@@ -552,7 +565,7 @@ def _bwd_one_tile(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "near", "far")
+    jax.jit, static_argnames=("width", "height", "near", "far", "want_dist")
 )
 def rasterize_backward_pallas(
     comb: jnp.ndarray,         # (COMB_F, E) sorted entry layout (fwd's)
@@ -565,6 +578,7 @@ def rasterize_backward_pallas(
     height: int,
     near: float,
     far: float,
+    want_dist: bool = True,
 ) -> jnp.ndarray:
     gx = (width + TILE - 1) // TILE
     gy = (height + TILE - 1) // TILE
@@ -618,7 +632,8 @@ def rasterize_backward_pallas(
     from g4splat_tpu.ops.rasterize_pallas import _interpret
 
     dcomb = pl.pallas_call(
-        functools.partial(_bwd_kernel, near=near, far=far, group=group),
+        functools.partial(_bwd_kernel, near=near, far=far, group=group,
+                          want_dist=want_dist),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(comb.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

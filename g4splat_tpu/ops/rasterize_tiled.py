@@ -17,7 +17,7 @@ CPU/test fallback for the Pallas kernels, which consume the same binning.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,7 @@ MAX_TILES_PER_SPLAT = 16   # splats covering more tiles are truncated
                            # (a 20px-radius splat can touch up to 4×4 tiles)
 TILE_K = 1024              # max splats composited per tile (front-most kept)
 BUF_FACTOR = 4             # kept sorted-entry prefix = BUF_FACTOR * P
+COMPACT_W = 8              # row-compaction width (see _compact_candidates)
 
 
 class Binning(NamedTuple):
@@ -43,6 +44,13 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray   # (n_tiles,) int32
     tile_count: jnp.ndarray   # (n_tiles,) int32
     n_dropped: jnp.ndarray    # () int32 — entries lost to caps
+    # Candidate-slot index of each sorted entry within its splat's ≤cap
+    # candidate tiles (4 bits riding the sort payload). (gauss_id, slot_id)
+    # is UNIQUE per entry, which turns the backward's per-entry→per-splat
+    # scatter-ADD into a unique-destination write + slot reduction
+    # (rasterize_pallas._render_pallas_bwd). None in rank mode (key-only
+    # sort carries no payload — that mode keeps the plain scatter-add).
+    slot_id: Optional[jnp.ndarray] = None
 
 
 def _ellipse_keep(prep: Preprocessed, tx: jnp.ndarray, ty: jnp.ndarray):
@@ -151,6 +159,67 @@ def _ellipse_keep(prep: Preprocessed, tx: jnp.ndarray, ty: jnp.ndarray):
     return (keep3d | keep2d) & (prep.opacity >= _EPS)[:, None]
 
 
+def _compact_candidates(keys, counts_valid, compact_w: int, k_rows: int):
+    """Shrink the global binning sort: per-splat row compaction + overflow.
+
+    The (P, cap) candidate grid is ~75-80% sentinels (mean real
+    entries/splat ≈ 2.5-3.3 vs cap 16), yet the global sort pays for every
+    slot. Sorting each ROW first (16-wide lane sort — cheap) packs a row's
+    real keys into its leading columns, so rows with ≤ compact_w real
+    candidates are fully represented by their first compact_w columns. The
+    few rows with more (big splats) go — whole, all cap columns — into a
+    static overflow block of k_rows rows, selected by a (P,)-sized sort.
+    The global sort then runs on P·compact_w + k_rows·cap keys instead of
+    P·cap — at compact_w = cap/2 that's ~2× fewer keys, and the XLA bitonic
+    sort is the single largest cost of the binning.
+
+    EXACT: the surviving key multiset is identical to the uncompacted one
+    whenever the overflow block fits; rows beyond k_rows are dropped whole
+    and their candidate count is returned for n_dropped accounting (same
+    graceful-degradation contract as the entry buffer).
+
+    keys: (P, cap) int32, SENTINEL padding. counts_valid: (P,) real counts.
+    Returns (keys_flat, pids_flat, extra_dropped) with
+    len = P·compact_w + k_rows·cap; pids_flat packs each slot's splat row
+    and its column in the row-sorted candidate grid as (row << 4 | col) —
+    the payload for the quantized-key pair sort (unique per entry; rank-mode
+    keys already carry the row and take no payload).
+    """
+    P, cap = keys.shape
+    SENTINEL = jnp.int32(jnp.iinfo(jnp.int32).max)
+    keys_row = jnp.sort(keys, axis=1)                    # sentinels last
+    ovf = counts_valid > compact_w                       # (P,)
+    main = jnp.where(ovf[:, None], SENTINEL, keys_row[:, :compact_w])
+    # Overflow rows: take the first k_rows overflowing row ids via a
+    # (P,)-sized pair sort (id if overflowing else P; counts ride along for
+    # exact drop accounting of rows past the block).
+    rid = jax.lax.broadcasted_iota(jnp.int32, (P,), 0)
+    prio = jnp.where(ovf, rid, jnp.int32(P))
+    prio_sorted, cnt_sorted = jax.lax.sort(
+        (prio, counts_valid.astype(jnp.int32)), num_keys=1)
+    sel = prio_sorted[:k_rows]
+    sel_ok = sel < P
+    sel_safe = jnp.minimum(sel, P - 1)
+    ovf_keys = jnp.where(sel_ok[:, None], keys_row[sel_safe], SENTINEL)
+    extra_dropped = jnp.sum(
+        jnp.where(prio_sorted[k_rows:] < P, cnt_sorted[k_rows:], 0))
+    keys_flat = jnp.concatenate([main.reshape(-1), ovf_keys.reshape(-1)])
+    col_main = jax.lax.broadcasted_iota(jnp.int32, (P, compact_w), 1)
+    pid_main = (rid[:, None] << 4) | col_main
+    col_ovf = jax.lax.broadcasted_iota(jnp.int32, (k_rows, cap), 1)
+    pid_ovf = (sel_safe[:, None] << 4) | col_ovf
+    pids_flat = jnp.concatenate([pid_main.reshape(-1), pid_ovf.reshape(-1)])
+    return keys_flat, pids_flat, extra_dropped
+
+
+def _overflow_rows_default(P: int) -> int:
+    """Static overflow-block rows: 1/16 of the splat count (≥512, ≤P).
+
+    At the bench scene (200k splats, 768×576) ~3-6k rows exceed 8 real
+    candidates — 12.5k rows is a 2-4× margin for ~6% extra sort keys."""
+    return min(max(512, P // 16), P)
+
+
 def bin_splats(
     prep: Preprocessed,
     width: int,
@@ -159,6 +228,7 @@ def bin_splats(
     max_tiles_per_splat: int = MAX_TILES_PER_SPLAT,
     rows_are_depth_ranks: bool = False,
     ellipse_prune: bool = True,
+    compact_width: int = COMPACT_W,
 ) -> Binning:
     """Duplicate each splat into its touched tiles and sort by (tile, depth).
 
@@ -189,7 +259,7 @@ def bin_splats(
     buf_size = min(buf_size, P * cap)
     if rows_are_depth_ranks:
         return _bin_splats_rank(prep, gx, gy, n_tiles, cap, buf_size,
-                                ellipse_prune)
+                                ellipse_prune, compact_width)
 
     center, radius = prep.center, prep.radius
     rmin_x = jnp.clip(((center[:, 0] - radius) / TILE).astype(jnp.int32), 0, gx)
@@ -228,16 +298,26 @@ def bin_splats(
     if ellipse_prune:
         slot_valid = slot_valid & _ellipse_keep(prep, tx, ty)
     SENTINEL = jnp.int32(jnp.iinfo(jnp.int32).max)
-    keys = jnp.where(
-        slot_valid, (tid << depth_bits) | q[:, None], SENTINEL
-    ).reshape(-1)
-    gids = jnp.broadcast_to(
-        jnp.arange(P, dtype=jnp.int32)[:, None], tid.shape
-    ).reshape(-1)
+    keys_pc = jnp.where(slot_valid, (tid << depth_bits) | q[:, None], SENTINEL)
+    extra_dropped = jnp.int32(0)
+    # Sort payload packs (splat row << 4 | slot) — unique per entry, slot
+    # < cap ≤ 16 (4 bits; P can grow to the 10M reference cap within int32).
+    assert cap <= 16, cap
+    if compact_width and cap > compact_width:
+        counts_valid = jnp.sum(slot_valid, axis=1, dtype=jnp.int32)
+        keys, pids, extra_dropped = _compact_candidates(
+            keys_pc, counts_valid, compact_width, _overflow_rows_default(P))
+    else:
+        keys = keys_pc.reshape(-1)
+        rid = jax.lax.broadcasted_iota(jnp.int32, tid.shape, 0)
+        sid = jax.lax.broadcasted_iota(jnp.int32, tid.shape, 1)
+        pids = ((rid << 4) | sid).reshape(-1)
 
-    keys_sorted, gid_sorted = jax.lax.sort((keys, gids), num_keys=1)
+    keys_sorted, pid_sorted = jax.lax.sort((keys, pids), num_keys=1)
     keys_sorted = keys_sorted[:buf_size]
-    gid_sorted = gid_sorted[:buf_size]
+    pid_sorted = pid_sorted[:buf_size]
+    gid_sorted = pid_sorted >> 4
+    slot_sorted = pid_sorted & 15
     tile_sorted = jnp.where(
         keys_sorted == SENTINEL, n_tiles, keys_sorted >> depth_bits
     ).astype(jnp.int32)
@@ -252,16 +332,19 @@ def bin_splats(
         jnp.int32
     )
     # Buffer-overflow term counts entries actually competing for the buffer
-    # (post-prune); the cap-truncation term stays rect-based (a truncated
-    # slot's prune verdict is never computed — conservative overcount).
-    total = jnp.sum(slot_valid)
-    dropped = jnp.maximum(total - buf_size, 0) + jnp.sum(counts - counts_cap)
+    # (post-prune, post-compaction); the cap-truncation term stays rect-based
+    # (a truncated slot's prune verdict is never computed — conservative
+    # overcount); compaction-overflow rows drop whole (exact count).
+    total = jnp.sum(slot_valid) - extra_dropped
+    dropped = (jnp.maximum(total - buf_size, 0)
+               + jnp.sum(counts - counts_cap) + extra_dropped)
     return Binning(
         gauss_id=gid_sorted,
         tile_id=tile_sorted,
         tile_start=tile_start,
         tile_count=tile_end - tile_start,
         n_dropped=dropped.astype(jnp.int32),
+        slot_id=slot_sorted,
     )
 
 
@@ -291,7 +374,8 @@ def presort_splats_by_depth(prep: Preprocessed) -> Preprocessed:
 
 def _bin_splats_rank(prep: Preprocessed, gx: int, gy: int, n_tiles: int,
                      cap: int, buf_size: int,
-                     ellipse_prune: bool = True) -> Binning:
+                     ellipse_prune: bool = True,
+                     compact_width: int = COMPACT_W) -> Binning:
     """Key-only binning sort for depth-rank-ordered rows (see bin_splats)."""
     P = prep.depth.shape[0]
     tile_bits = max(1, n_tiles.bit_length())
@@ -324,9 +408,14 @@ def _bin_splats_rank(prep: Preprocessed, gx: int, gy: int, n_tiles: int,
         slot_valid = slot_valid & _ellipse_keep(prep, tx, ty)
     SENTINEL = jnp.int32(jnp.iinfo(jnp.int32).max)
     rank = jnp.arange(P, dtype=jnp.int32)[:, None]
-    keys = jnp.where(
-        slot_valid, (tid << rank_bits) | rank, SENTINEL
-    ).reshape(-1)
+    keys_pc = jnp.where(slot_valid, (tid << rank_bits) | rank, SENTINEL)
+    extra_dropped = jnp.int32(0)
+    if compact_width and cap > compact_width:
+        counts_valid = jnp.sum(slot_valid, axis=1, dtype=jnp.int32)
+        keys, _, extra_dropped = _compact_candidates(
+            keys_pc, counts_valid, compact_width, _overflow_rows_default(P))
+    else:
+        keys = keys_pc.reshape(-1)
 
     keys_sorted = jax.lax.sort(keys)[:buf_size]
     rank_mask = (1 << rank_bits) - 1
@@ -347,8 +436,9 @@ def _bin_splats_rank(prep: Preprocessed, gx: int, gy: int, n_tiles: int,
     tile_end = jnp.searchsorted(keys_sorted, upper, side="right").astype(
         jnp.int32
     )
-    total = jnp.sum(slot_valid)
-    dropped = jnp.maximum(total - buf_size, 0) + jnp.sum(counts - counts_cap)
+    total = jnp.sum(slot_valid) - extra_dropped
+    dropped = (jnp.maximum(total - buf_size, 0)
+               + jnp.sum(counts - counts_cap) + extra_dropped)
     return Binning(
         gauss_id=gid_sorted,
         tile_id=tile_sorted,
@@ -480,11 +570,13 @@ def render_tiled_wh(
     rows_are_depth_ranks: bool = False,
     max_tiles_per_splat: int = MAX_TILES_PER_SPLAT,
     ellipse_prune: bool = True,
+    compact_width: int = COMPACT_W,
 ) -> Tuple[jnp.ndarray, ...]:
     binning = bin_splats(prep, width, height, buf_size=buf_size,
                          max_tiles_per_splat=max_tiles_per_splat,
                          rows_are_depth_ranks=rows_are_depth_ranks,
-                         ellipse_prune=ellipse_prune)
+                         ellipse_prune=ellipse_prune,
+                         compact_width=compact_width)
     return _render_tiles(
         prep, binning, bg, width, height, near, far, tile_k, tile_batch,
     )
@@ -502,8 +594,10 @@ def render_tiled(
     rows_are_depth_ranks: bool = False,
     max_tiles_per_splat: int = MAX_TILES_PER_SPLAT,
     ellipse_prune: bool = True,
+    compact_width: int = COMPACT_W,
 ) -> Tuple[jnp.ndarray, ...]:
     return render_tiled_wh(
         camera.width, camera.height, prep, bg, near, far, tile_k, tile_batch,
         buf_size, rows_are_depth_ranks, max_tiles_per_splat, ellipse_prune,
+        compact_width,
     )

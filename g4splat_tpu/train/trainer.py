@@ -168,8 +168,13 @@ def compute_losses(
     out = render(
         camera,
         scene,
+        # λ_dist = 0.0 is the reference's production default
+        # (arguments/__init__.py:86): statically skip the distortion-moment
+        # machinery in the kernels then — rend_dist comes back as zeros and
+        # dist_loss is exactly 0 either way.
         config=RenderConfig(bg=jnp.zeros(3), depth_ratio=cfg.depth_ratio,
-                            depth_rank_binning=cfg.depth_rank_binning),
+                            depth_rank_binning=cfg.depth_rank_binning,
+                            compute_distortion=cfg.lambda_dist != 0.0),
         center_offset=center_offset,
         backend=cfg.backend,
     )

@@ -129,6 +129,34 @@ def check_scene(scene, W, H, tile_k=1024):
         ok = rel < 2e-2
         print(f"grad {n_:9s} rel‖Δ‖={rel:.3e}  {'ok' if ok else 'FAIL'}")
         fail |= not ok
+
+    # Trainer fast path: compute_distortion=False (λ_dist = 0 production
+    # default) must match the full pallas kernels EXACTLY on every non-dist
+    # channel and gradient (the only removed terms are multiplied by the
+    # identically-zero gdist cotangent).
+    rcfg_nd = RenderConfig(tile_k=tile_k, compute_distortion=False)
+
+    def make_loss_nd(cfg):
+        def loss_nd(xyz, f_dc, op, sc, rot):
+            s = scene.replace(xyz=xyz, f_dc=f_dc, opacity_raw=op,
+                              scaling_raw=sc, rotation_raw=rot)
+            out = render(cam, s, config=cfg, backend="pallas")
+            return (jnp.mean(out["render"] ** 2)
+                    + 0.1 * jnp.mean(out["rend_alpha"])
+                    + 0.1 * jnp.mean(jnp.abs(out["rend_normal"]))
+                    + 0.05 * jnp.mean(out["surf_depth"]))
+        return loss_nd
+
+    g_full = jax.jit(
+        jax.grad(make_loss_nd(rcfg), argnums=(0, 1, 2, 3, 4)))(*args)
+    g_nd = jax.jit(
+        jax.grad(make_loss_nd(rcfg_nd), argnums=(0, 1, 2, 3, 4)))(*args)
+    for n_, a, b in zip(names, g_full, g_nd):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+        ok = rel < 1e-5
+        print(f"nodist grad {n_:9s} rel‖Δ‖={rel:.3e}  {'ok' if ok else 'FAIL'}")
+        fail |= not ok
     return fail
 
 

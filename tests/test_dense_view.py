@@ -52,6 +52,7 @@ class TestInterpolateCameras:
 
 
 class TestDenseViewStage:
+    @pytest.mark.slow
     def test_dense_stage_replaces_views(self, tmp_path):
         import sys
 

@@ -26,6 +26,8 @@ from g4splat_tpu.priors.mast3r import (
     convert_torch_mast3r,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle / integration tier
+
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 TINY_REF_CFG = MASt3RConfig(

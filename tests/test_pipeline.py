@@ -52,6 +52,7 @@ def synthetic_room(V=3, res=48):
     return cameras, np.stack(imgs), np.stack(depths)
 
 
+@pytest.mark.slow
 class TestPipelineIntegration:
     def test_posed_pipeline_flows(self, tmp_path):
         cameras, images, depths = synthetic_room()

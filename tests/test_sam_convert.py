@@ -24,6 +24,8 @@ import torch.nn.functional as F
 
 from g4splat_tpu.priors.sam import SAM, SAMConfig, convert_torch_sam
 
+pytestmark = pytest.mark.slow  # torch-oracle / integration tier
+
 CFG = SAMConfig(
     img_size=48, patch_size=8, encoder_dim=32, encoder_depth=2,
     encoder_heads=2, window_size=3, global_attn_every=2, embed_dim=32,

@@ -26,6 +26,8 @@ from g4splat_tpu.priors.see3d import (
     convert_torch_see3d,
 )
 
+pytestmark = pytest.mark.slow  # torch-oracle / integration tier
+
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 

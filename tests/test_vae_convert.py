@@ -20,6 +20,8 @@ import pytest
 
 from g4splat_tpu.priors.vae import SD_SCALE, AutoencoderKL, convert_torch_vae
 
+pytestmark = pytest.mark.slow  # torch-oracle / integration tier
+
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 
