@@ -216,6 +216,17 @@ def build_priors(args):
         model = CLIPVision(**cfg) if cfg else CLIPVision()
         priors.image_embedder = CLIPImageEmbedder(model=model, params=params)
 
+    p = path("clip_text")
+    if p:
+        from g4splat_tpu.priors.clip_text import CLIPText, CLIPTextEmbedder
+
+        params, cfg = _load_npz(p)
+        cfg = dict(cfg or {})
+        pad_id = int(cfg.pop("pad_id", 0))
+        model = CLIPText(**cfg) if cfg else CLIPText()
+        priors.text_embedder = CLIPTextEmbedder(model=model, params=params,
+                                                pad_id=pad_id)
+
     p = path("lpips")
     if p:
         from g4splat_tpu.eval.image_metrics import LPIPS

@@ -123,6 +123,7 @@ class Priors:
     see3d_sr: Optional[object] = None          # SR-checkpoint See3DPipeline
     vae: Optional[object] = None               # (module, params)
     image_embedder: Optional[object] = None    # callable image → tokens
+    text_embedder: Optional[object] = None     # callable () → prompt tokens
     lpips: Optional[object] = None             # eval.image_metrics.LPIPS
 
 
@@ -1232,14 +1233,28 @@ class G4SplatPipeline:
             x = jnp.stack(imgs) * 2.0 - 1.0
             return vae_mod.apply(vae_params, x, method=vae_mod.encode)
 
-        # Shared conditioning: the reference adds the CLIP image embedding of
-        # the first (reference) frame onto the prompt embedding and repeats
-        # it over all frames (:676-686).
+        # Shared conditioning: context = prompt_embeds + image_embeds — the
+        # empty-prompt text embedding (see3d_util.py:44) plus 0.2× the CLIP
+        # image class embedding of the first (reference) frame broadcast
+        # over the 77 token positions, repeated over all frames
+        # (pipeline_mvd_warp_mix_classifier.py:463-464,676-686). Either
+        # tower degrades to zeros when its prior is absent.
+        ctx_img = ctx_txt = None
         if self.priors.image_embedder is not None:
-            ctx1 = jnp.asarray(self.priors.image_embedder(
+            ctx_img = jnp.asarray(self.priors.image_embedder(
                 np.asarray(refs[0])))
-            if ctx1.ndim == 2:
-                ctx1 = ctx1[None]
+            if ctx_img.ndim == 2:
+                ctx_img = ctx_img[None]
+        if self.priors.text_embedder is not None:
+            ctx_txt = jnp.asarray(self.priors.text_embedder())
+            if ctx_txt.ndim == 2:
+                ctx_txt = ctx_txt[None]
+        if ctx_img is not None and ctx_txt is not None:
+            ctx1 = ctx_txt + ctx_img
+        elif ctx_img is not None:
+            ctx1 = ctx_img
+        elif ctx_txt is not None:
+            ctx1 = ctx_txt
         else:
             ctx1 = jnp.zeros((1, 4, self.priors.see3d.unet.cfg.context_dim))
 

@@ -73,12 +73,18 @@ class CLIPVision(nn.Module):
 
 class CLIPImageEmbedder:
     """Callable for Priors.image_embedder: (H, W, 3) [0,1] image →
-    (1, M, context_dim) conditioning tokens for the MV UNet."""
+    (1, M, context_dim) conditioning tokens for the MV UNet.
+
+    Matches the reference's image conditioning exactly: 0.2× the projected
+    class embedding repeated over the 77 prompt-token positions, to be
+    summed with the prompt embedding
+    (pipeline_mvd_warp_mix_classifier.py:463-464,681)."""
 
     def __init__(self, model: Optional[CLIPVision] = None, params=None,
-                 seed: int = 0, n_tokens: int = 4):
+                 seed: int = 0, n_tokens: int = 77, scale: float = 0.2):
         self.model = model or CLIPVision()
         self.n_tokens = n_tokens
+        self.scale = scale
         if params is None:
             dummy = jnp.zeros((1, 224, 224, 3))
             params = self.model.init(jax.random.PRNGKey(seed), dummy)
@@ -92,9 +98,7 @@ class CLIPImageEmbedder:
         x = jax.image.resize(jnp.asarray(img), (224, 224, 3), "bilinear")
         x = (x - _MEAN) / _STD
         proj, _ = self._apply(self.params, x[None])
-        # Repeat the projected class embedding into M context tokens (the
-        # reference's image-prompt resampler plays this role).
-        return jnp.tile(proj[:, None, :], (1, self.n_tokens, 1))
+        return self.scale * jnp.tile(proj[:, None, :], (1, self.n_tokens, 1))
 
 
 def convert_torch_clip_vision(state: Dict, depth: int = 24) -> Dict:

@@ -394,6 +394,12 @@ class DDIMConfig:
     prediction_type: str = "v"
     # 'trailing' (the reference override) or 'leading' (diffusers default).
     timestep_spacing: str = "trailing"
+    # CFG rescale toward the cond branch's per-frame std (fixes
+    # overexposure; arXiv 2305.08891 §3.4). The reference implements it at
+    # pipeline_mvd_warp_mix_classifier.py:53-63 and applies it to the
+    # combined prediction when > 0 (:695-697); production runs 0.0
+    # (mv_diffusion.py:67).
+    guidance_rescale: float = 0.0
 
 
 class DDIMSampler:
@@ -513,6 +519,15 @@ class See3DPipeline:
                 out = unet_apply(params, inp, t_vec, ctx2, num_frames=F)
                 s = cfg.guidance_scale
                 model_out = (1 + s) * out[:F] - s * out[F:]
+                if cfg.guidance_rescale > 0.0:
+                    # rescale_noise_cfg (:53-63): pull the CFG output's
+                    # per-frame std back toward the cond branch's.
+                    cond = out[:F]
+                    std_c = jnp.std(cond, axis=(1, 2, 3), keepdims=True)
+                    std_g = jnp.std(model_out, axis=(1, 2, 3), keepdims=True)
+                    rescaled = model_out * (std_c / jnp.maximum(std_g, 1e-12))
+                    gr = cfg.guidance_rescale
+                    model_out = gr * rescaled + (1 - gr) * model_out
                 x = sampler.step(model_out, t, x)
                 return (x, key), None
 

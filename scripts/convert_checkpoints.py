@@ -150,6 +150,24 @@ def convert_see3d(src, dst):
     else:
         print(f"  [skip] clip: {croot} not found")
 
+    troot = os.path.join(base, "text_encoder")
+    tstate = (_diffusers_unet_state(troot) if os.path.isdir(troot) else None)
+    if tstate is not None:
+        from g4splat_tpu.priors.clip_text import convert_torch_clip_text
+
+        n_layers = len({k.split(".")[3] for k in tstate
+                        if k.startswith("text_model.encoder.layers.")})
+        # SD2.x pipelines read the penultimate hidden state: keep L-1
+        # layers under the final LN (diffusers num_hidden_layers=23 trick).
+        depth = max(1, n_layers - 1)
+        _save(dst, "clip_text", convert_torch_clip_text(tstate, depth=depth),
+              cfg={"depth": depth,
+                   "width": int(np.asarray(
+                       tstate["text_model.embeddings.token_embedding.weight"]
+                   ).shape[1])})
+    else:
+        print(f"  [skip] clip_text: {troot} not found")
+
 
 def convert_lpips(src, dst):
     vgg = _find(src, ["**/vgg16*.pth", "**/vgg16*.bin"])
