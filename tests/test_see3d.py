@@ -153,6 +153,33 @@ class TestPipeline:
         # Same key → identical noise draws; only frame 0's content differs.
         assert float(jnp.abs(out_b[1:] - out_a[1:]).max()) > 1e-5
 
+    def test_guidance_rescale_changes_output(self):
+        # rescale_noise_cfg (pipeline_mvd_warp_mix_classifier.py:53-63):
+        # with guidance_rescale > 0 the CFG prediction is pulled toward the
+        # cond branch's per-frame std; production default 0.0 must be the
+        # plain CFG combine.
+        unet = MultiViewUNet(TINY_UNET)
+        F, h, w = 3, 8, 8
+        x = jnp.zeros((F, h, w, TINY_UNET.in_channels))
+        t = jnp.zeros(F, jnp.int32)
+        ctx0 = jnp.zeros((F, 4, TINY_UNET.context_dim))
+        params = unet.init(jax.random.PRNGKey(0), x, t, ctx0, num_frames=F)
+        params = jax.tree.map(lambda p: p if p.ndim < 2 else p + 0.01, params)
+        warp = jax.random.normal(jax.random.PRNGKey(2), (F, h, w, 4))
+        masks = jnp.zeros((F, h, w, 1)).at[:, :4].set(1.0)
+        ctx = jax.random.normal(jax.random.PRNGKey(4),
+                                (F, 4, TINY_UNET.context_dim))
+        key = jax.random.PRNGKey(3)
+        outs = {}
+        for gr in (0.0, 0.7):
+            pipe = See3DPipeline(
+                unet, params, DDIMConfig(num_steps=4, guidance_rescale=gr))
+            outs[gr] = pipe.inpaint_latents(key, warp, masks, ctx, gt_num=1)
+        assert float(jnp.abs(outs[0.7] - outs[0.0]).max()) > 1e-6
+        # Reference frames stay pinned under rescale too.
+        np.testing.assert_allclose(np.asarray(outs[0.7][0]),
+                                   np.asarray(warp[0]), atol=1e-6)
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
