@@ -44,12 +44,12 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray   # (n_tiles,) int32
     tile_count: jnp.ndarray   # (n_tiles,) int32
     n_dropped: jnp.ndarray    # () int32 — entries lost to caps
-    # Candidate-slot index of each sorted entry within its splat's ≤cap
-    # candidate tiles (4 bits riding the sort payload). (gauss_id, slot_id)
-    # is UNIQUE per entry, which turns the backward's per-entry→per-splat
-    # scatter-ADD into a unique-destination write + slot reduction
-    # (rasterize_pallas._render_pallas_bwd). None in rank mode (key-only
-    # sort carries no payload — that mode keeps the plain scatter-add).
+    # Exploration payload (consumed only by scripts/sweep_scatter.py's
+    # scatter-vs-unique-write A/B; no production code reads it).
+    # (gauss_id, slot_id) is UNIQUE per valid entry. Under compaction,
+    # slot_id is the entry's column in the ROW-SORTED candidate grid, not
+    # its original rect slot. None in rank mode (key-only sort carries no
+    # payload).
     slot_id: Optional[jnp.ndarray] = None
 
 
@@ -159,7 +159,8 @@ def _ellipse_keep(prep: Preprocessed, tx: jnp.ndarray, ty: jnp.ndarray):
     return (keep3d | keep2d) & (prep.opacity >= _EPS)[:, None]
 
 
-def _compact_candidates(keys, counts_valid, compact_w: int, k_rows: int):
+def _compact_candidates(keys, counts_valid, compact_w: int, k_rows: int,
+                        slot_bits: int):
     """Shrink the global binning sort: per-splat row compaction + overflow.
 
     The (P, cap) candidate grid is ~75-80% sentinels (mean real
@@ -173,41 +174,48 @@ def _compact_candidates(keys, counts_valid, compact_w: int, k_rows: int):
     P·cap — at compact_w = cap/2 that's ~2× fewer keys, and the XLA bitonic
     sort is the single largest cost of the binning.
 
-    EXACT: the surviving key multiset is identical to the uncompacted one
-    whenever the overflow block fits; rows beyond k_rows are dropped whole
-    and their candidate count is returned for n_dropped accounting (same
+    EXACT whenever the overflow block fits: the surviving key multiset is
+    identical to the uncompacted one. Overflow rows past the block degrade
+    gracefully — they keep their first compact_w row-sorted columns (an
+    effective per-splat cap of compact_w, never a whole-splat loss) and the
+    excess count is returned for exact n_dropped accounting (same
     graceful-degradation contract as the entry buffer).
 
     keys: (P, cap) int32, SENTINEL padding. counts_valid: (P,) real counts.
     Returns (keys_flat, pids_flat, extra_dropped) with
     len = P·compact_w + k_rows·cap; pids_flat packs each slot's splat row
-    and its column in the row-sorted candidate grid as (row << 4 | col) —
-    the payload for the quantized-key pair sort (unique per entry; rank-mode
-    keys already carry the row and take no payload).
+    and its column in the row-sorted candidate grid as
+    (row << slot_bits | col) — the payload for the quantized-key pair sort
+    (unique per entry; rank-mode keys already carry the row and take no
+    payload). slot_bits = ceil(log2 cap) so any cap works.
     """
     P, cap = keys.shape
     SENTINEL = jnp.int32(jnp.iinfo(jnp.int32).max)
     keys_row = jnp.sort(keys, axis=1)                    # sentinels last
     ovf = counts_valid > compact_w                       # (P,)
-    main = jnp.where(ovf[:, None], SENTINEL, keys_row[:, :compact_w])
-    # Overflow rows: take the first k_rows overflowing row ids via a
-    # (P,)-sized pair sort (id if overflowing else P; counts ride along for
-    # exact drop accounting of rows past the block).
+    # Rows selected into the static overflow block: the first k_rows
+    # overflowing rows by row id (rank via cumsum). Later overflow rows stay
+    # in `main` with their first compact_w columns — a reduced effective cap
+    # rather than a whole-splat drop.
+    ovf_rank = jnp.cumsum(ovf.astype(jnp.int32)) - 1
+    in_block = ovf & (ovf_rank < k_rows)
+    main = jnp.where(in_block[:, None], SENTINEL, keys_row[:, :compact_w])
     rid = jax.lax.broadcasted_iota(jnp.int32, (P,), 0)
-    prio = jnp.where(ovf, rid, jnp.int32(P))
-    prio_sorted, cnt_sorted = jax.lax.sort(
-        (prio, counts_valid.astype(jnp.int32)), num_keys=1)
+    prio = jnp.where(in_block, rid, jnp.int32(P))
+    prio_sorted = jax.lax.sort(prio)
     sel = prio_sorted[:k_rows]
     sel_ok = sel < P
     sel_safe = jnp.minimum(sel, P - 1)
     ovf_keys = jnp.where(sel_ok[:, None], keys_row[sel_safe], SENTINEL)
+    # Exact count of candidates lost to block exhaustion (cols past
+    # compact_w of overflow rows not in the block).
     extra_dropped = jnp.sum(
-        jnp.where(prio_sorted[k_rows:] < P, cnt_sorted[k_rows:], 0))
+        jnp.where(ovf & ~in_block, counts_valid - compact_w, 0))
     keys_flat = jnp.concatenate([main.reshape(-1), ovf_keys.reshape(-1)])
     col_main = jax.lax.broadcasted_iota(jnp.int32, (P, compact_w), 1)
-    pid_main = (rid[:, None] << 4) | col_main
+    pid_main = (rid[:, None] << slot_bits) | col_main
     col_ovf = jax.lax.broadcasted_iota(jnp.int32, (k_rows, cap), 1)
-    pid_ovf = (sel_safe[:, None] << 4) | col_ovf
+    pid_ovf = (sel_safe[:, None] << slot_bits) | col_ovf
     pids_flat = jnp.concatenate([pid_main.reshape(-1), pid_ovf.reshape(-1)])
     return keys_flat, pids_flat, extra_dropped
 
@@ -229,6 +237,7 @@ def bin_splats(
     rows_are_depth_ranks: bool = False,
     ellipse_prune: bool = True,
     compact_width: int = COMPACT_W,
+    compact_overflow_rows: int | None = None,
 ) -> Binning:
     """Duplicate each splat into its touched tiles and sort by (tile, depth).
 
@@ -259,7 +268,8 @@ def bin_splats(
     buf_size = min(buf_size, P * cap)
     if rows_are_depth_ranks:
         return _bin_splats_rank(prep, gx, gy, n_tiles, cap, buf_size,
-                                ellipse_prune, compact_width)
+                                ellipse_prune, compact_width,
+                                compact_overflow_rows)
 
     center, radius = prep.center, prep.radius
     rmin_x = jnp.clip(((center[:, 0] - radius) / TILE).astype(jnp.int32), 0, gx)
@@ -300,24 +310,32 @@ def bin_splats(
     SENTINEL = jnp.int32(jnp.iinfo(jnp.int32).max)
     keys_pc = jnp.where(slot_valid, (tid << depth_bits) | q[:, None], SENTINEL)
     extra_dropped = jnp.int32(0)
-    # Sort payload packs (splat row << 4 | slot) — unique per entry, slot
-    # < cap ≤ 16 (4 bits; P can grow to the 10M reference cap within int32).
-    assert cap <= 16, cap
+    # Sort payload packs (splat row << slot_bits | slot) — unique per entry;
+    # slot_bits sized from the cap so any max_tiles_per_splat works (the CUDA
+    # path duplicates unboundedly, rasterizer_impl.cu:70-111). Row bits must
+    # still fit: P ≤ 2^(31 - slot_bits) (e.g. cap 64 → P ≤ 33.5M, above the
+    # reference's 10M hard cap).
+    slot_bits = max(1, (cap - 1).bit_length())
+    assert (P - 1).bit_length() + slot_bits <= 31, (
+        f"P={P} with cap={cap} overflows the int32 sort payload"
+    )
     if compact_width and cap > compact_width:
         counts_valid = jnp.sum(slot_valid, axis=1, dtype=jnp.int32)
+        k_rows = (compact_overflow_rows if compact_overflow_rows is not None
+                  else _overflow_rows_default(P))
         keys, pids, extra_dropped = _compact_candidates(
-            keys_pc, counts_valid, compact_width, _overflow_rows_default(P))
+            keys_pc, counts_valid, compact_width, k_rows, slot_bits)
     else:
         keys = keys_pc.reshape(-1)
         rid = jax.lax.broadcasted_iota(jnp.int32, tid.shape, 0)
         sid = jax.lax.broadcasted_iota(jnp.int32, tid.shape, 1)
-        pids = ((rid << 4) | sid).reshape(-1)
+        pids = ((rid << slot_bits) | sid).reshape(-1)
 
     keys_sorted, pid_sorted = jax.lax.sort((keys, pids), num_keys=1)
     keys_sorted = keys_sorted[:buf_size]
     pid_sorted = pid_sorted[:buf_size]
-    gid_sorted = pid_sorted >> 4
-    slot_sorted = pid_sorted & 15
+    gid_sorted = pid_sorted >> slot_bits
+    slot_sorted = pid_sorted & ((1 << slot_bits) - 1)
     tile_sorted = jnp.where(
         keys_sorted == SENTINEL, n_tiles, keys_sorted >> depth_bits
     ).astype(jnp.int32)
@@ -375,7 +393,8 @@ def presort_splats_by_depth(prep: Preprocessed) -> Preprocessed:
 def _bin_splats_rank(prep: Preprocessed, gx: int, gy: int, n_tiles: int,
                      cap: int, buf_size: int,
                      ellipse_prune: bool = True,
-                     compact_width: int = COMPACT_W) -> Binning:
+                     compact_width: int = COMPACT_W,
+                     compact_overflow_rows: int | None = None) -> Binning:
     """Key-only binning sort for depth-rank-ordered rows (see bin_splats)."""
     P = prep.depth.shape[0]
     tile_bits = max(1, n_tiles.bit_length())
@@ -412,8 +431,11 @@ def _bin_splats_rank(prep: Preprocessed, gx: int, gy: int, n_tiles: int,
     extra_dropped = jnp.int32(0)
     if compact_width and cap > compact_width:
         counts_valid = jnp.sum(slot_valid, axis=1, dtype=jnp.int32)
+        k_rows = (compact_overflow_rows if compact_overflow_rows is not None
+                  else _overflow_rows_default(P))
         keys, _, extra_dropped = _compact_candidates(
-            keys_pc, counts_valid, compact_width, _overflow_rows_default(P))
+            keys_pc, counts_valid, compact_width, k_rows,
+            max(1, (cap - 1).bit_length()))
     else:
         keys = keys_pc.reshape(-1)
 

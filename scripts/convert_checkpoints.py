@@ -157,14 +157,37 @@ def convert_see3d(src, dst):
 
         n_layers = len({k.split(".")[3] for k in tstate
                         if k.startswith("text_model.encoder.layers.")})
-        # SD2.x pipelines read the penultimate hidden state: keep L-1
-        # layers under the final LN (diffusers num_hidden_layers=23 trick).
-        depth = max(1, n_layers - 1)
+        # The reference consumes text_encoder(ids)[0] = final_layer_norm
+        # over ALL instantiated layers; for SD2.x the "penultimate" trick is
+        # already baked into the shipped config (num_hidden_layers=23 with a
+        # 23-layer state dict). So keep every layer the config instantiates:
+        # depth = config.json num_hidden_layers, truncating only when the
+        # raw state dict provably ships MORE layers than the config uses
+        # (e.g. a full 24-layer OpenCLIP dump next to a 23-layer config).
+        cfg_path = os.path.join(troot, "config.json")
+        hidden_act = None
+        depth = n_layers
+        if os.path.isfile(cfg_path):
+            import json
+
+            with open(cfg_path) as f:
+                tcfg = json.load(f)
+            depth = min(n_layers, int(tcfg.get("num_hidden_layers",
+                                               n_layers)))
+            hidden_act = tcfg.get("hidden_act")
+        width = int(np.asarray(
+            tstate["text_model.embeddings.token_embedding.weight"]).shape[1])
+        # Variant detection: SD1.x CLIP ViT-L (width 768) uses quick_gelu,
+        # 12 heads, and pads prompts with EOS (49407); SD2.x OpenCLIP ViT-H
+        # (width 1024) uses gelu, 16 heads, pad 0. config.json hidden_act
+        # wins when present.
+        is_sd1 = (hidden_act == "quick_gelu") or (
+            hidden_act is None and width == 768)
+        act = "quick_gelu" if is_sd1 else "gelu"
         _save(dst, "clip_text", convert_torch_clip_text(tstate, depth=depth),
-              cfg={"depth": depth,
-                   "width": int(np.asarray(
-                       tstate["text_model.embeddings.token_embedding.weight"]
-                   ).shape[1])})
+              cfg={"depth": depth, "width": width, "act": act,
+                   "num_heads": width // 64,
+                   "pad_id": 49407 if is_sd1 else 0})
     else:
         print(f"  [skip] clip_text: {troot} not found")
 

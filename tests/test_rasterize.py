@@ -690,6 +690,114 @@ class TestTileCap:
         assert d4 > d64
 
 
+class TestCompaction:
+    """Row-compacted binning (compact_width): the surviving key multiset is
+    exact vs the uncompacted sort whenever the overflow block fits, and
+    block exhaustion degrades to an effective cap of compact_width with
+    exact n_dropped accounting — never a silent whole-splat loss."""
+
+    W, H = 160, 112
+
+    def _prep(self, n=600, inflate=1.4, seed=7):
+        from g4splat_tpu.ops.rasterize_common import preprocess
+
+        scene = random_scene(jax.random.PRNGKey(seed), n, spread=0.6)
+        # Inflate some scales so a meaningful fraction of splats touch >8
+        # tiles (asserted below — otherwise the tests are vacuous).
+        scene = scene.replace(scaling_raw=scene.scaling_raw + inflate)
+        cam = simple_camera(w=self.W, h=self.H, f=90.0)
+        prep = preprocess(
+            cam, xyz=scene.xyz, scaling=scene.scaling(),
+            rotation_raw=scene.rotation_raw, opacity=scene.opacity(),
+            features=scene.features(), sh_degree=scene.active_sh_degree,
+            config=RenderConfig())
+        return scene, cam, prep
+
+    def _rect_counts(self, prep, cap):
+        """Numpy oracle for per-splat candidate counts (rect binning,
+        prune off): min(tiles in the dual-conic AABB, cap)."""
+        from g4splat_tpu.ops.rasterize_common import TILE
+
+        c = np.asarray(prep.center)
+        r = np.asarray(prep.radius)
+        valid = np.asarray(prep.valid)
+        gx = (self.W + TILE - 1) // TILE
+        gy = (self.H + TILE - 1) // TILE
+        rmin_x = np.clip(((c[:, 0] - r) / TILE).astype(np.int32), 0, gx)
+        rmin_y = np.clip(((c[:, 1] - r) / TILE).astype(np.int32), 0, gy)
+        rmax_x = np.clip(
+            ((c[:, 0] + r + TILE - 1) / TILE).astype(np.int32), 0, gx)
+        rmax_y = np.clip(
+            ((c[:, 1] + r + TILE - 1) / TILE).astype(np.int32), 0, gy)
+        counts = np.where(valid, (rmax_x - rmin_x) * (rmax_y - rmin_y), 0)
+        return np.minimum(counts, cap)
+
+    def _entry_multiset(self, binning, n_tiles):
+        """Sorted (tile, gauss) pairs of the real (non-padding) entries —
+        invariant to tie order inside the sort."""
+        tile = np.asarray(binning.tile_id)
+        gid = np.asarray(binning.gauss_id)
+        real = tile < n_tiles
+        packed = tile[real].astype(np.int64) * (gid.max() + 2) + gid[real]
+        return np.sort(packed)
+
+    def test_compact_matches_uncompacted(self):
+        from g4splat_tpu.ops.rasterize_common import TILE
+        from g4splat_tpu.ops.rasterize_tiled import bin_splats
+
+        scene, cam, prep = self._prep()
+        counts = self._rect_counts(prep, cap=16)
+        assert (counts > 8).sum() >= 10, "scene must overflow compact_width"
+        kw = dict(buf_size=600 * 16, ellipse_prune=False)
+        b0 = bin_splats(prep, self.W, self.H, compact_width=0, **kw)
+        b8 = bin_splats(prep, self.W, self.H, compact_width=8, **kw)
+        n_tiles = ((self.W + TILE - 1) // TILE) * ((self.H + TILE - 1) // TILE)
+        assert int(b0.n_dropped) == int(b8.n_dropped)
+        np.testing.assert_array_equal(np.asarray(b0.tile_count),
+                                      np.asarray(b8.tile_count))
+        np.testing.assert_array_equal(self._entry_multiset(b0, n_tiles),
+                                      self._entry_multiset(b8, n_tiles))
+
+    def test_block_exhaustion_exact_accounting(self):
+        """With a 1-row overflow block, every other >compact_w splat keeps
+        exactly compact_w candidates; the excess is counted in n_dropped."""
+        from g4splat_tpu.ops.rasterize_tiled import bin_splats
+
+        scene, cam, prep = self._prep()
+        counts = self._rect_counts(prep, cap=16)
+        ovf = counts > 8
+        assert ovf.sum() >= 2
+        # All overflow rows except the first (by row id — the block pick
+        # order) lose (count - compact_w) candidates.
+        expected_extra = int(counts[ovf][1:].sum() - 8 * (ovf.sum() - 1))
+        kw = dict(buf_size=600 * 16, ellipse_prune=False)
+        base = bin_splats(prep, self.W, self.H, compact_width=8, **kw)
+        tiny = bin_splats(prep, self.W, self.H, compact_width=8,
+                          compact_overflow_rows=1, **kw)
+        assert int(tiny.n_dropped) - int(base.n_dropped) == expected_extra
+        # Exhausted rows are reduced-cap, not dropped whole: every splat
+        # with candidates still appears in the entry stream.
+        gid = np.asarray(tiny.gauss_id)
+        from g4splat_tpu.ops.rasterize_common import TILE
+
+        n_tiles = ((self.W + TILE - 1) // TILE) * ((self.H + TILE - 1) // TILE)
+        real = np.asarray(tiny.tile_id) < n_tiles
+        present = np.unique(gid[real])
+        want = np.where(counts > 0)[0]
+        np.testing.assert_array_equal(np.intersect1d(present, want), want)
+
+    def test_render_parity_compact_on_off(self):
+        scene, cam, prep = self._prep()
+        base = render(cam, scene, backend="tiled",
+                      config=RenderConfig(binning_compact_width=0))
+        comp = render(cam, scene, backend="tiled",
+                      config=RenderConfig(binning_compact_width=8))
+        for k in ("render", "rend_alpha", "surf_depth", "rend_dist"):
+            np.testing.assert_allclose(
+                np.asarray(base[k]), np.asarray(comp[k]),
+                atol=1e-5, err_msg=k)
+
+
 class TestEllipsePrune:
     """RenderConfig.tile_ellipse_prune: exact ellipse-level tile culling.
 
