@@ -29,6 +29,7 @@ def make_trainer():
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_exact_resume(self, tmp_path):
         t1 = make_trainer()
         for _ in range(5):

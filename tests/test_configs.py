@@ -5,6 +5,7 @@ yaml, adaptive_tetrahedralization yaml, multiresolution_tsdf yaml +
 render_multires.py:45)."""
 
 import numpy as np
+import pytest
 
 from g4splat_tpu.utils.config import apply_overrides, load_config
 
@@ -52,6 +53,7 @@ class TestChartsConfigs:
                             load_config("charts_alignment", "fast"))
         assert f.n_iterations == 300
 
+    @pytest.mark.slow
     def test_strong_regularizers_run(self):
         """3 iterations of alignment under the strong config stay finite and
         actually change the objective vs default."""

@@ -237,6 +237,7 @@ def sphere_scene(n=800, r=0.5, seed=0):
 
 
 class TestEndToEnd:
+    @pytest.mark.slow
     def test_grid_tsdf_sphere(self):
         from g4splat_tpu.pipeline.mesh_extraction import extract_mesh_grid_tsdf
 
@@ -302,6 +303,7 @@ class TestEndToEnd:
         cov = _verts_covered(cameras, verts, depth_trunc=3.0)
         np.testing.assert_array_equal(cov, [True, False, False])
 
+    @pytest.mark.slow
     def test_adaptive_tsdf_sphere(self):
         from g4splat_tpu.pipeline.mesh_extraction import (
             MeshExtractionConfig,

@@ -23,6 +23,38 @@ _ISOLATED = os.environ.get("G4_TEST_PARALLEL_DIRECT") == "1"
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 class TestDataParallel:
+    @pytest.mark.slow
+    def test_dp_train_step_pallas_interpret(self):
+        """backend="pallas" under shard_map (interpret mode on CPU): guards
+        the check_vma wiring the on-chip smoke hit (pallas_call outputs
+        carry no vma; scripts/smoke_pallas_mesh.py runs this on the real
+        chip)."""
+        import __graft_entry__ as ge
+
+        from g4splat_tpu.train.trainer import (
+            TrainConfig, make_optimizer, scene_params)
+
+        mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+        scene, cameras, views = ge._tiny_problem(
+            n_gauss=64, n_views=2, res=32, capacity=128)
+        views["scale_factor"] = jnp.full((2,), 10.0)
+        cfg = TrainConfig(
+            use_mip_filter=False, use_depth_order=False, backend="pallas",
+            lambda_dist=10.0, distortion_from=0, normal_consistency_from=0,
+        )
+        optimizer = make_optimizer(cfg)
+        opt_state = optimizer.init(scene_params(scene))
+        scene_r = replicate(mesh, scene)
+        opt_state = replicate(mesh, opt_state)
+        cameras_s = shard_batch(mesh, cameras)
+        views_s = shard_batch(mesh, views)
+        step = data_parallel_train_step(mesh, cfg, optimizer)
+        scene2, _, loss = step(scene_r, opt_state, cameras_s, views_s,
+                               jnp.asarray(1), jax.random.PRNGKey(0))
+        assert np.isfinite(float(loss))
+        assert float(jnp.abs(scene2.xyz - scene_r.xyz).max()) > 0
+
+    @pytest.mark.slow
     def test_dp_step_matches_single_device(self):
         if not _ISOLATED:
             env = dict(os.environ, G4_TEST_PARALLEL_DIRECT="1")
@@ -96,6 +128,7 @@ class TestDataParallel:
             np.asarray(scene2.xyz), np.asarray(ref_params["xyz"]), atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_dp_training_with_densify_matches_mesh1(self):
         """VERDICT item 4: the full DP training step (grads pmean'd AND
         densify stats psum'd) is invariant to the mesh size, so a subsequent
@@ -171,6 +204,7 @@ class TestDataParallel:
         n_new = int(results[0][5].n_cloned) + int(results[0][5].n_split)
         assert n_new > 0, "densify never fired — test is vacuous"
 
+    @pytest.mark.slow
     def test_trainer_dp_mode_smoke(self):
         if not _ISOLATED:
             env = dict(os.environ, G4_TEST_PARALLEL_DIRECT="1")
@@ -205,6 +239,7 @@ class TestDataParallel:
         assert all(np.isfinite(h["loss"]) for h in hist), hist
         assert int(tr.scene.num_alive) > 0
 
+    @pytest.mark.slow
     def test_slab_compose_matches_single_render(self):
         """Gaussian-buffer sharding algebra (SURVEY §5.7): depth-slab
         partials composed per-pixel must reproduce the single-buffer render
@@ -265,6 +300,7 @@ class TestDataParallel:
         assert (med_err[exact_px] < 1e-4).all()
         assert np.mean(med_err < 1e-4) > 0.7, np.mean(med_err < 1e-4)
 
+    @pytest.mark.slow
     def test_render_gaussian_sharded_on_mesh(self):
         from g4splat_tpu.core.cameras import lookat_camera
         from g4splat_tpu.models.gaussians import GaussianScene
@@ -361,6 +397,7 @@ if __name__ == "__main__":
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 class TestTileParallel:
+    @pytest.mark.slow
     def test_tile_parallel_render_matches_full_frame(self):
         """Strip-sharded megapixel path: each device renders a band of tile
         rows through an exactly-equivalent cropped camera; the assembled

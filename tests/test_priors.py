@@ -116,6 +116,7 @@ class TestDPT:
         assert float(y[0, -1, -1, 0]) == 15.0
         assert float(y[0, 0, -1, 0]) == 3.0
 
+    @pytest.mark.slow
     def test_depth_anything_tiny_e2e(self):
         # Full model with ViT-S config on a small input: shapes + positivity.
         model = DepthAnything(encoder="vits", input_size=56)
@@ -125,6 +126,7 @@ class TestDPT:
         assert np.all(disp >= 0)
         assert np.isfinite(disp).all()
 
+    @pytest.mark.slow
     def test_infer_images_matches_per_view(self):
         # Batched path == per-image path (same resize/normalize/head math;
         # the ViT has no cross-batch coupling).
@@ -139,6 +141,7 @@ class TestDPT:
         slabbed = model.infer_images(imgs, max_batch=2)
         np.testing.assert_allclose(slabbed, batched, atol=1e-5)
 
+    @pytest.mark.slow
     def test_infer_images_sharded_mesh(self):
         # View axis sharded over the (virtual) device mesh; values match the
         # unsharded batch. V=3 with 2+ devices exercises the pad path.

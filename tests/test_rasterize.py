@@ -197,6 +197,7 @@ class TestTiledVsDense:
                 err_msg=f"mismatch in {k}",
             )
 
+    @pytest.mark.slow
     def test_agreement_with_dead_splats(self):
         cam = simple_camera()
         scene = random_scene(jax.random.PRNGKey(3), 100, capacity=256)
@@ -224,6 +225,7 @@ class TestGradients:
         return f
 
     @pytest.mark.parametrize("backend", ["dense", "tiled"])
+    @pytest.mark.slow
     def test_finite_difference(self, backend):
         cam = simple_camera(w=24, h=24, f=24.0)
         scene = random_scene(jax.random.PRNGKey(7), 12, spread=0.6)
@@ -257,6 +259,7 @@ class TestGradients:
                     err_msg=f"arg {ai} coord {i} (backend={backend})",
                 )
 
+    @pytest.mark.slow
     def test_dense_tiled_grads_agree(self):
         cam = simple_camera(w=32, h=32, f=30.0)
         scene = random_scene(jax.random.PRNGKey(9), 40, spread=0.8)
@@ -285,6 +288,7 @@ class TestGradients:
 
 
 class TestDeepOverlap:
+    @pytest.mark.slow
     def test_tiled_matches_dense_when_cap_covers_tile(self):
         """The tiled backend keeps only the front-most tile_k entries per
         tile; on scenes whose densest tile exceeds the cap its output is
@@ -450,6 +454,7 @@ class TestCapacityPaths:
         tid = np.asarray(small.tile_id[:8])
         assert (np.diff(tid) >= 0).all()
 
+    @pytest.mark.slow
     def test_gradient_support_cap_zeroes_tail(self, monkeypatch):
         # Entries past MAX_CHUNKS_PER_TILE chunks get zero gradient but the
         # forward still composites them; shrink the cap to keep the test
@@ -483,6 +488,7 @@ class TestPallasInterpretParity:
     """The production Pallas kernels under interpret mode on CPU — a CI-level
     guard; the authoritative on-chip gate is scripts/check_pallas.py."""
 
+    @pytest.mark.slow
     def test_forward_and_grads_match_tiled(self):
         cam = simple_camera(w=48, h=32, f=45.0)
         scene = random_scene(jax.random.PRNGKey(7), 120)
@@ -507,6 +513,7 @@ class TestPallasInterpretParity:
         rel = np.linalg.norm(gp - gt) / (np.linalg.norm(gt) + 1e-12)
         assert rel < 5e-3, rel
 
+    @pytest.mark.slow
     def test_grouped_grid_edge_cases(self):
         """Grid-step grouping (RASTER_GROUP tiles per step) under interpret
         mode on a scene that exercises every sub-tile case at once: a
@@ -574,6 +581,7 @@ class TestDepthRankBinning:
         key = jax.random.PRNGKey(seed)
         return random_scene(key, n)
 
+    @pytest.mark.slow
     def test_forward_matches_tiled_default(self):
         scene = self._scene()
         cam = simple_camera(w=96, h=64, f=70.0)
@@ -598,6 +606,7 @@ class TestDepthRankBinning:
         np.testing.assert_allclose(np.asarray(dense["render"]),
                                    np.asarray(rank["render"]), atol=2e-4)
 
+    @pytest.mark.slow
     def test_gradients_match(self):
         scene = self._scene(n=800)
         cam = simple_camera(w=64, h=48, f=60.0)
@@ -614,6 +623,7 @@ class TestDepthRankBinning:
                / (np.linalg.norm(np.asarray(g0)) + 1e-12))
         assert rel < 1e-3, rel
 
+    @pytest.mark.slow
     def test_pallas_interpret_rank_mode(self):
         scene = self._scene(n=1200)
         cam = simple_camera(w=64, h=48, f=60.0)
@@ -623,6 +633,7 @@ class TestDepthRankBinning:
         np.testing.assert_allclose(np.asarray(base["render"]),
                                    np.asarray(out["render"]), atol=5e-3)
 
+    @pytest.mark.slow
     def test_bits_fallback(self):
         """When rank bits don't fit the key, the quantized path is used
         silently (identical API)."""
@@ -642,6 +653,7 @@ class TestTileCap:
     byte-identical whenever the binning drop counter reports zero truncation
     (the gate bench.py checks before self-selecting the cap-8 variant)."""
 
+    @pytest.mark.slow
     def test_cap8_exact_when_no_drops(self):
         scene = random_scene(jax.random.PRNGKey(11), 2500)
         # Shrink radii so no splat's rect exceeds 8 tiles (the gate below
@@ -902,6 +914,7 @@ class TestEllipsePrune:
         np.testing.assert_allclose(np.asarray(base["render"]),
                                    np.asarray(out["render"]), atol=5e-3)
 
+    @pytest.mark.slow
     def test_gradients_match_unpruned(self):
         scene = self._scene(n=700)
         cam = simple_camera(w=64, h=48, f=60.0)
@@ -924,6 +937,7 @@ class TestBufFactor:
     """RenderConfig.buf_factor: smaller sorted-entry buffers are exact while
     the binning drop counter stays zero."""
 
+    @pytest.mark.slow
     def test_buf3_exact_when_no_drops(self):
         scene = random_scene(jax.random.PRNGKey(5), 2000)
         scene = scene.replace(scaling_raw=scene.scaling_raw - 1.0)

@@ -15,6 +15,7 @@ from g4splat_tpu.priors.sam import (
 
 
 class TestSAMModel:
+    @pytest.mark.slow
     def test_forward_shapes(self):
         model = SAM(TINY_SAM)
         img = jnp.zeros((1, 64, 64, 3))
@@ -67,6 +68,7 @@ class TestPromptLogic:
             assert m.shape == (48, 48)
             assert m.dtype == bool
 
+    @pytest.mark.slow
     def test_batch_generator_matches_per_view(self):
         # .batch (stack-encoded, optionally mesh-sharded) must reproduce the
         # per-view generator exactly: same embeddings → same masks.

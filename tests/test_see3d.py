@@ -16,6 +16,7 @@ from g4splat_tpu.priors.vae import SD_SCALE, AutoencoderKL
 
 
 class TestUNet:
+    @pytest.mark.slow
     def test_forward_shapes(self):
         unet = MultiViewUNet(TINY_UNET)
         F, h, w = 3, 8, 8
@@ -28,6 +29,7 @@ class TestUNet:
         # zero-init output conv → exactly zero at init
         assert float(jnp.abs(out).max()) == 0.0
 
+    @pytest.mark.slow
     def test_cross_frame_attention_couples_frames(self):
         # Changing frame 1's input must change frame 0's output (3D attention).
         unet = MultiViewUNet(TINY_UNET)
@@ -104,6 +106,7 @@ class TestDDIM:
 
 
 class TestVAE:
+    @pytest.mark.slow
     def test_roundtrip_shapes(self):
         vae = AutoencoderKL(base_ch=16, ch_mult=(1, 2), z_ch=4)
         x = jax.random.uniform(jax.random.PRNGKey(0), (1, 16, 16, 3),
@@ -153,6 +156,7 @@ class TestPipeline:
         # Same key → identical noise draws; only frame 0's content differs.
         assert float(jnp.abs(out_b[1:] - out_a[1:]).max()) > 1e-5
 
+    @pytest.mark.slow
     def test_guidance_rescale_changes_output(self):
         # rescale_noise_cfg (pipeline_mvd_warp_mix_classifier.py:53-63):
         # with guidance_rescale > 0 the CFG prediction is pulled toward the
