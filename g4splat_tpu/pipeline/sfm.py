@@ -633,13 +633,75 @@ def build_pairs_exhaustive(n: int) -> List[Tuple[int, int]]:
     return [(i, j) for i in range(n) for j in range(i + 1, n)]
 
 
+def _avg_angle_depth(preds, subsample: int = 8) -> np.ndarray:
+    """Reference canonical_view(mode='avg-angle') (sparse_ga.py:875-913).
+
+    Per prediction, express every pixel's depth as the ELEVATION ANGLE
+    relative to its subsample-block's center point (radius from the xy
+    pointmap); average angles with conf weights; reconstruct depth as
+    block-center canon depth + mean_radius·tan(avg_angle). A constant
+    per-prediction depth bias shifts z and z_center equally, so the angle —
+    unlike the plain z-average — cancels it within each block; absolute
+    scale comes from the canonical block centers only.
+
+    preds: list of (pts3d (H, W, 3), conf (H, W)) predictions of ONE view.
+    Returns the (H, W) canonical depth.
+    """
+    H, W = preds[0][0].shape[:2]
+    s = subsample
+    while s > 1 and (H % s or W % s):
+        s //= 2
+    pts = np.stack([p for p, _ in preds])                 # (K, H, W, 3)
+    w = np.maximum(np.stack([c for _, c in preds]) - 0.999, 1e-8)
+    canon_z = (w * pts[..., 2]).sum(0) / w.sum(0)
+    if s <= 1:
+        return canon_z
+    Hb, Wb = H // s, W // s
+
+    def blockify(x):                                       # (K,H,W)→(K,Hb,s,Wb,s)
+        return x.reshape(x.shape[0], Hb, s, Wb, s)
+
+    cyx = (slice(s // 2, None, s), slice(s // 2, None, s))
+    xy = pts[..., :2]
+    xy_c = xy[:, cyx[0], cyx[1]]                           # (K, Hb, Wb, 2)
+    z_c = pts[:, cyx[0], cyx[1], 2]                        # (K, Hb, Wb)
+    dxy = (blockify(xy[..., 0]) - xy_c[..., 0][:, :, None, :, None],
+           blockify(xy[..., 1]) - xy_c[..., 1][:, :, None, :, None])
+    radius = np.maximum(np.sqrt(dxy[0] ** 2 + dxy[1] ** 2), 1e-8)
+    dz = blockify(pts[..., 2]) - z_c[:, :, None, :, None]
+    angle = np.arctan(dz / radius)
+    wb = blockify(w)
+    avg_angle = (wb * angle).sum(0) / wb.sum(0)
+    rel = radius.mean(0) * np.tan(avg_angle)               # (Hb, s, Wb, s)
+    out = canon_z[cyx][:, None, :, None] + rel
+    return out.reshape(H, W)
+
+
 def canonical_views_from_pairs(
     V: int,
     pair_outputs: Dict[Tuple[int, int], Tuple],
+    mode: str = "avg-z",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Confidence-weighted canonical depths + focal init per image
     (prepare_canonical_data, sparse_ga.py:692-…): average the z of every
-    self-pointmap prediction (X11 when the image is first, X22 when second)."""
+    self-pointmap prediction (X11 when the image is first, X22 when second).
+
+    mode="avg-angle" uses the reference's block-angle canonicalization
+    (canonical_view mode='avg-angle', sparse_ga.py:895-908) instead of the
+    plain z-average — robust to per-prediction depth bias (ablation:
+    scripts/ablate_canonical.py; numbers in PARITY.md)."""
+    if mode == "avg-angle":
+        per_view = {}
+        for (i, j), (out11, out21, out22, out12) in pair_outputs.items():
+            for v, out in ((i, out11), (j, out22)):
+                per_view.setdefault(v, []).append(
+                    (np.asarray(out["pts3d"][0]), np.asarray(out["conf"][0])))
+        depths_aa = np.stack(
+            [np.maximum(_avg_angle_depth(per_view[v]), 1e-3)
+             for v in range(V)])
+        # Focals follow the same path as avg-z below.
+        _, focals = canonical_views_from_pairs(V, pair_outputs, mode="avg-z")
+        return depths_aa.astype(np.float32), focals
     depth_acc = {}
     conf_acc = {}
     example = None
