@@ -337,7 +337,8 @@ class G4SplatPipeline:
                     pts_reg=p12[sl].reshape(-1, 3),
                     conf_reg=c12[sl].reshape(-1),
                 ))
-            depths, focals = S.canonical_views_from_pairs(V, pair_outputs)
+            depths, focals, canon_confs = S.canonical_views_from_pairs(
+                V, pair_outputs, return_confs=True)
             init_w2c = None
             fix = False
             if st.cameras is not None and self.cfg.sfm_config == "posed":
@@ -369,7 +370,11 @@ class G4SplatPipeline:
             st.cameras = stack_cameras(cams)
             st.prior_depths = res.depthmaps
             st.depths = res.depthmaps.copy()
-            self._write_colmap(res)
+            # clean_depth=True (run_mast3r.py:253): zero the confidence of
+            # cross-view floaters so the COLMAP writeout drops them.
+            confs = S.clean_depth_confidences(
+                res.w2c, res.focals, res.depthmaps, canon_confs)
+            self._write_colmap(res, confs=confs)
 
     def _posed_depth_bootstrap(self):
         """Posed mode without MASt3R: depths from the DA2 mono prior scaled
@@ -397,9 +402,14 @@ class G4SplatPipeline:
         )
         self._write_colmap(res)
 
-    def _write_colmap(self, res):
+    def _write_colmap(self, res, confs: Optional[np.ndarray] = None):
+        """COLMAP writeout. ``confs`` (V, H, W), when given, gates which
+        backprojected points are written — the reference's output_conf_thr
+        filter over clean_depth'ed confidences (run_mast3r.py:803-805,
+        default thr 0.1: exactly the points clean_pointcloud zeroed)."""
         st = self.state
         V, H, W = st.images.shape[:3]
+        conf_thr = 0.1
         cams = {
             v + 1: colmap_io.ColmapCamera(
                 v + 1, "PINHOLE", W, H,
@@ -425,6 +435,9 @@ class G4SplatPipeline:
             step = 8
             sel = pw[::step, ::step].reshape(-1, 3)
             col = st.images[v][::step, ::step].reshape(-1, 3)
+            if confs is not None:
+                keep = confs[v][::step, ::step].reshape(-1) >= conf_thr
+                sel, col = sel[keep], col[keep]
             all_pts.append(sel)
             all_cols.append(col)
             for p, c in zip(sel[::4], col[::4]):
@@ -460,8 +473,9 @@ class G4SplatPipeline:
                 json.dump({
                     "rgb": None,
                     "points": pw.reshape(-1, 3).tolist(),
-                    "confs": np.ones(pw.shape[0] * pw.shape[1],
-                                     np.float32).tolist(),
+                    "confs": (confs[v].reshape(-1) if confs is not None
+                              else np.ones(pw.shape[0] * pw.shape[1],
+                                           np.float32)).tolist(),
                 }, f)
         # Posed mode: all-sparse/0 (every calibrated view, original
         # intrinsics, run_mast3r.py:848-897) and dense-view-sparse/0

@@ -681,7 +681,8 @@ def canonical_views_from_pairs(
     V: int,
     pair_outputs: Dict[Tuple[int, int], Tuple],
     mode: str = "avg-z",
-) -> Tuple[np.ndarray, np.ndarray]:
+    return_confs: bool = False,
+):
     """Confidence-weighted canonical depths + focal init per image
     (prepare_canonical_data, sparse_ga.py:692-…): average the z of every
     self-pointmap prediction (X11 when the image is first, X22 when second).
@@ -699,11 +700,15 @@ def canonical_views_from_pairs(
         depths_aa = np.stack(
             [np.maximum(_avg_angle_depth(per_view[v]), 1e-3)
              for v in range(V)])
-        # Focals follow the same path as avg-z below.
-        _, focals = canonical_views_from_pairs(V, pair_outputs, mode="avg-z")
-        return depths_aa.astype(np.float32), focals
+        # Focals (and confs) follow the same path as avg-z below.
+        rest = canonical_views_from_pairs(V, pair_outputs, mode="avg-z",
+                                          return_confs=return_confs)
+        if return_confs:
+            return depths_aa.astype(np.float32), rest[1], rest[2]
+        return depths_aa.astype(np.float32), rest[1]
     depth_acc = {}
     conf_acc = {}
+    count = {}
     example = None
     for (i, j), (out11, out21, out22, out12) in pair_outputs.items():
         for v, out in ((i, out11), (j, out22)):
@@ -715,6 +720,7 @@ def canonical_views_from_pairs(
             conf_acc.setdefault(v, np.zeros_like(c))
             depth_acc[v] += z * c
             conf_acc[v] += c
+            count[v] = count.get(v, 0) + 1
     H, W = example.shape
     depths = np.zeros((V, H, W), np.float32)
     focals = np.zeros(V, np.float32)
@@ -733,7 +739,65 @@ def canonical_views_from_pairs(
                 pts = np.asarray(out22["pts3d"][0])
                 break
         focals[v] = estimate_focal_from_pointmap(pts)
+    if return_confs:
+        confs = np.stack([conf_acc[v] / max(count[v], 1) for v in range(V)])
+        return depths, focals, confs.astype(np.float32)
     return depths, focals
+
+
+def clean_depth_confidences(
+    w2c: np.ndarray,          # (V, 4, 4)
+    focals: np.ndarray,       # (V,)
+    depthmaps: np.ndarray,    # (V, H, W) optimized depths
+    confs: np.ndarray,        # (V, H, W) canonical confidences
+    tol: float = 0.001,
+    bad_conf: float = 0.0,
+) -> np.ndarray:
+    """Cross-view depth-consistency cleanup — the reference's
+    ``clean_depth=True`` path (clean_pointcloud,
+    dust3r/dust3r/cloud_opt/base_opt.py:370-405, applied inside
+    get_dense_pts3d at sparse_ga.py:91-92 and always on in production,
+    run_mast3r.py:253).
+
+    A pixel whose 3D point lands strictly IN FRONT of another view's depth
+    surface (by more than ``tol`` relative) while being LESS confident than
+    that view's pixel is a floater: its confidence is clipped to
+    ``bad_conf`` so the COLMAP writeout's ``output_conf_thr`` filter drops
+    it (run_mast3r.py:803-805). Vectorized per view pair; cameras are the
+    writeout convention (centered principal point, fx == fy).
+    """
+    V, H, W = depthmaps.shape
+    res = np.asarray(confs, np.float32).copy()
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    pts_w = np.empty((V, H * W, 3), np.float32)
+    for i in range(V):
+        z = depthmaps[i]
+        pc = np.stack([(xs - cx) / focals[i] * z,
+                       (ys - cy) / focals[i] * z, z], -1).reshape(-1, 3)
+        c2w = np.linalg.inv(w2c[i])
+        pts_w[i] = pc @ c2w[:3, :3].T + c2w[:3, 3]
+    for i in range(V):
+        for j in range(V):
+            if i == j:
+                continue
+            pj = pts_w[i] @ np.asarray(w2c[j][:3, :3]).T + w2c[j][:3, 3]
+            zj = pj[:, 2]
+            safe = np.where(zj > 1e-9, zj, 1.0)
+            u = np.round(pj[:, 0] / safe * focals[j] + cx).astype(np.int64)
+            v = np.round(pj[:, 1] / safe * focals[j] + cy).astype(np.int64)
+            msk = (zj > 0) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+            idx = np.where(msk)[0]
+            ui, vi = u[idx], v[idx]
+            ri = res[i].reshape(-1)
+            # Same progressive-update semantics as the reference (res is
+            # compared, not the original confs).
+            bad = ((zj[idx] < (1.0 - tol) * depthmaps[j][vi, ui])
+                   & (ri[idx] < res[j][vi, ui]))
+            ri[idx[bad]] = np.minimum(ri[idx[bad]], bad_conf)
+            res[i] = ri.reshape(H, W)
+    return res
 
 
 def relative_pose_from_pair(out11, out22, out12, conf_thresh: float = 1.5):

@@ -358,6 +358,40 @@ class TestCanonicalDepth:
             assert float(np.abs(d - pm[..., 2]).mean()) < 0.15, mode
 
 
+class TestCleanDepth:
+    """clean_depth_confidences (clean_pointcloud,
+    dust3r/cloud_opt/base_opt.py:370-405)."""
+
+    def _setup(self, conf_floater=1.0):
+        from g4splat_tpu.pipeline.sfm import clean_depth_confidences
+        H, W, f = 16, 20, 20.0
+        # Two co-located views: projection i→j is the identity map, so the
+        # consistency test is purely per-pixel and analytic.
+        w2c = np.stack([np.eye(4, dtype=np.float32)] * 2)
+        focals = np.array([f, f], np.float32)
+        depths = np.full((2, H, W), 2.0, np.float32)
+        depths[0, 4:8, 4:8] = 1.0          # floater patch in view 0
+        confs = np.full((2, H, W), 2.0, np.float32)
+        confs[0, 4:8, 4:8] = conf_floater
+        return clean_depth_confidences(w2c, focals, depths, confs), confs
+
+    def test_low_conf_floater_zeroed(self):
+        cleaned, confs = self._setup(conf_floater=1.0)
+        # The floater sits in front of view 1's surface with lower conf.
+        assert (cleaned[0, 4:8, 4:8] == 0.0).all()
+        # Every consistent pixel keeps its confidence, in both views.
+        m = np.ones_like(cleaned[0], bool)
+        m[4:8, 4:8] = False
+        np.testing.assert_array_equal(cleaned[0][m], confs[0][m])
+        np.testing.assert_array_equal(cleaned[1], confs[1])
+
+    def test_confident_floater_survives(self):
+        # In-front alone is not enough — the reference only drops points
+        # LESS confident than the occluded view's pixel.
+        cleaned, confs = self._setup(conf_floater=3.0)
+        np.testing.assert_array_equal(cleaned, confs)
+
+
 class TestDust3rFallback:
     def test_regression_only_pairs_recover_pose(self):
         # Strip all correspondences; give each pair dense regression targets
