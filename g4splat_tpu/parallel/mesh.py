@@ -75,6 +75,7 @@ def data_parallel_train_step(mesh: Mesh, cfg, optimizer):
         @partial(
             jax.shard_map,
             mesh=mesh,
+            check_vma=False,  # pallas_call outputs carry no vma under shard_map
             in_specs=(P(), P("data"), P("data"), P(), P()),
             out_specs=(P(), P()),
         )
@@ -218,6 +219,7 @@ def _tile_parallel_fn(mesh: Mesh, backend: str, keys: tuple, strip_h: int,
     @partial(
         jax.shard_map,
         mesh=mesh,
+        check_vma=False,  # pallas_call outputs carry no vma under shard_map
         in_specs=(P(), P()),
         out_specs=P("data"),
     )
@@ -251,6 +253,7 @@ def _view_parallel_fn(mesh: Mesh, backend: str, keys: tuple,
     @partial(
         jax.shard_map,
         mesh=mesh,
+        check_vma=False,  # pallas_call outputs carry no vma under shard_map
         in_specs=(P(), P("data")),
         out_specs=P("data"),
     )
