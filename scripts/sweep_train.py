@@ -73,17 +73,22 @@ def main():
         opt_state = optimizer.init(scene_params(scene_v))
         dstate = DensifyState.zero(scene_v.capacity)
 
+        # Sync by FETCHING a loss scalar, not block_until_ready: with
+        # donated state args the remote-tunneled runtime has reported
+        # aliased/step outputs ready before the step finished, under-
+        # measuring ~100x (observed 0.73 ms for a step that costs ~80 ms
+        # when timed via host transfer or via the non-donating grad timings
+        # below). A device->host float() cannot return early.
         def run(s, o, d, c=cfg, op=optimizer):
-            s, o, d, m = train_step(s, o, d, cam, view, it, key, c, op)
-            return s, o, d
+            return train_step(s, o, d, cam, view, it, key, c, op)
 
-        state = run(scene_v, opt_state, dstate)
-        jax.block_until_ready(state)
+        *state, m = run(scene_v, opt_state, dstate)
+        _ = float(m["loss"])
         t0 = time.perf_counter()
         n = 10
         for _ in range(n):
-            state = run(*state)
-        jax.block_until_ready(state)
+            *state, m = run(*state)
+        _ = float(m["loss"])
         print(f"train_step {tag:32s} {(time.perf_counter()-t0)/n*1e3:8.2f} ms",
               flush=True)
 
