@@ -73,7 +73,9 @@ class CrossAttention(nn.Module):
         q = q.reshape(B, N, self.heads, self.dim_head)
         k = k.reshape(B, M, self.heads, self.dim_head)
         v = v.reshape(B, M, self.heads, self.dim_head)
-        out = jax.nn.dot_product_attention(q, k, v).reshape(B, N, inner)
+        from g4splat_tpu.ops.attention import memory_efficient_attention
+
+        out = memory_efficient_attention(q, k, v).reshape(B, N, inner)
         return nn.Dense(x.shape[-1], name="to_out_0")(out)
 
 
