@@ -534,12 +534,16 @@ class SAMPredictor:
         )
 
     def encode_images(self, images: np.ndarray, mesh=None,
-                      max_batch: int = 8) -> jnp.ndarray:
+                      max_batch: int = 2) -> jnp.ndarray:
         """Batch-encode a (V, H, W, 3) view stack → (V, …) embeddings.
 
         One ViT dispatch per slab instead of V (the encoder is SAM's heavy
         half); with `mesh`, the view axis shards over the mesh's `data`
-        axis like DepthAnything.infer_images."""
+        axis like DepthAnything.infer_images. ``max_batch`` is PER DEVICE:
+        each ViT-H global-attention layer at 1024px materialises
+        16*4096^2 logits + the same-shape rel-pos bias per view (~2.2 GB
+        f32) — slabs of 2 keep the encoder under ~6 GB so it coexists with
+        the other stage priors on a 16 GB chip (measured OOM at 5 views)."""
         V = len(images)
         S = self.cfg.img_size
         x = jax.image.resize(

@@ -1,0 +1,59 @@
+"""End-to-end quality gate on the synthetic box room (RESULTS.md's test).
+
+The north star is "PSNR/Chamfer within 1% of the reference" — unfalsifiable
+without committed numbers. This gate makes quality regression-testable: a
+scene with analytically-known geometry runs the full posed pipeline tail
+(charts -> planes -> refined depths -> 2DGS training -> TSDF mesh) and the
+results must clear committed thresholds. Reference result schema:
+eval/eval.py:92-104 (image metrics on the held-out split) +
+eval/mesh_eval.py:62-76 (Chamfer vs GT mesh).
+
+Thresholds are set well below the measured numbers recorded in RESULTS.md
+(the calibration run at this exact config; on-chip numbers also there) so
+they catch real quality regressions, not run-to-run noise.
+"""
+
+import numpy as np
+import pytest
+
+from g4splat_tpu.eval.synthetic import box_room, quality_run
+
+
+class TestSyntheticGeometry:
+    def test_box_room_mesh_matches_splats(self):
+        """GT splats must lie ON the GT mesh (sanity of the benchmark)."""
+        gt, (verts, faces) = box_room(points_per_m2=400)
+        xyz = np.asarray(gt.xyz[: int(gt.num_alive)])
+        # Every patch is axis-aligned: distance to the nearest plane of its
+        # patch is 0 by construction; check a necessary condition — points
+        # lie within the room bounds and on one of the known plane equations.
+        planes = [
+            (1, 1.0), (2, 1.5), (0, -1.5), (0, 1.5),  # floor + 3 walls
+        ]
+        d = np.full(len(xyz), np.inf)
+        for ax, off in planes:
+            d = np.minimum(d, np.abs(xyz[:, ax] - off))
+        # cube faces at c +- h
+        c, h = np.array([0.2, 0.7, 0.3]), 0.3
+        for ax in range(3):
+            for sgn in (-1, 1):
+                d = np.minimum(d, np.abs(xyz[:, ax] - (c[ax] + sgn * h)))
+        assert float(d.max()) < 1e-5
+        assert len(faces) == 2 * 9  # 4 room patches + 5 cube faces
+
+
+@pytest.mark.slow
+class TestQualityGate:
+    def test_box_room_psnr_and_chamfer(self, tmp_path):
+        res = quality_run(
+            str(tmp_path), res=128, n_views=8, eval_split=(2, 5),
+            train_iters=400, backend="tiled", tsdf_resolution=96,
+            points_per_m2=1200,
+        )
+        # Held-out novel-view PSNR: measured 26.1 dB (RESULTS.md); gate 20.
+        assert res["Average-PSNR"] > 20.0, res
+        assert res["Average-SSIM"] > 0.70, res
+        # Mesh Chamfer-L1 vs the analytic GT mesh, scene units (room is
+        # 3 m wide): measured 0.018; gate 0.05.
+        assert res["Chamfer-L1"] < 0.05, res
+        assert np.isfinite(res["Chamfer-L1"])
