@@ -27,6 +27,7 @@ optimization step is one jit.
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, NamedTuple, Optional
@@ -38,6 +39,11 @@ import optax
 
 from g4splat_tpu.core.cameras import Camera
 from g4splat_tpu.core.geometry import depth_to_normal
+
+# Steady-state per-iteration seconds of the last align_charts call
+# (compile-free: the clock starts after step 0). Profiling aid consumed by
+# scripts/probe_scaling.py for BUDGET.md's iteration-scaling extrapolation.
+LAST_STATS: Dict[str, float] = {}
 from g4splat_tpu.train.losses import normal_to_curvature
 
 
@@ -364,10 +370,21 @@ def align_charts(
         return params, opt_state, loss
 
     losses = []
+    LAST_STATS.clear()
+    t_ss = None
     for it in range(cfg.n_iterations):
         params, opt_state, loss = step(params, opt_state)
+        if it == 0:
+            # Steady-state clock starts after the compile-carrying first
+            # step (consumed by scripts/probe_scaling.py for BUDGET.md).
+            jax.block_until_ready(loss)
+            t_ss = time.perf_counter()
         if it % max(1, cfg.n_iterations // 20) == 0:
             losses.append(float(loss))
+    if cfg.n_iterations > 1:
+        jax.block_until_ready(loss)
+        LAST_STATS["s_per_iter"] = (
+            time.perf_counter() - t_ss) / (cfg.n_iterations - 1)
 
     verts = forward_deformation(params, state, cfg)
     dd = view_depths(cameras, verts)

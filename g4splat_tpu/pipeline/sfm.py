@@ -36,6 +36,7 @@ correspondence tensors; pair inference batches shard over the device mesh.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
@@ -46,6 +47,12 @@ import numpy as np
 import optax
 
 from g4splat_tpu.core.transforms import quat_to_rotmat, rotmat_to_quat
+
+# Steady-state per-iteration seconds of the last sparse_global_alignment
+# call, per optimization phase (compile-free: the clock starts after step 0).
+# Profiling aid consumed by scripts/probe_scaling.py for BUDGET.md's
+# iteration-scaling extrapolation; cleared at the start of every call.
+LAST_STATS: Dict[str, float] = {}
 
 
 # ---------------------------------------------------------------- primitives
@@ -524,6 +531,7 @@ def sparse_global_alignment(
         return main + cfg.loss_dust3r_w * loss_reg(params, R_abs, t_abs)
 
     losses = []
+    LAST_STATS.clear()
     for phase, (loss_fn, lr, niter) in enumerate(
         [(loss_3d, cfg.lr1, cfg.niter1), (loss_2d, cfg.lr2, cfg.niter2)]
     ):
@@ -564,10 +572,20 @@ def sparse_global_alignment(
             )
             return params, opt_state, l
 
+        t_ss = None
         for it in range(niter):
             params, opt_state, l = step(params, opt_state)
+            if it == 0:
+                # Steady-state clock starts after the compile-carrying first
+                # step (BUDGET.md's iteration-scaling extrapolation input).
+                jax.block_until_ready(l)
+                t_ss = time.perf_counter()
             if it % max(1, niter // 10) == 0:
                 losses.append(float(l))
+        if niter > 1:
+            jax.block_until_ready(l)
+            LAST_STATS[f"phase{phase + 1}_s_per_iter"] = (
+                time.perf_counter() - t_ss) / (niter - 1)
 
     R_abs, t_abs = jax.jit(compose_chain)(params)
     if cfg.shared_intrinsics:

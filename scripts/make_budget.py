@@ -1,0 +1,208 @@
+"""Generate BUDGET.md's measured tables from the budget-run JSONs.
+
+Inputs (all produced by other scripts, committed under logs/):
+  logs/budget_r04_cold.json  first run, cold XLA/Mosaic cache (partial ok)
+  logs/budget_r04.json       rerun with the persistent compile cache warm —
+                             stages present in both runs separate compile
+                             (cold-warm) from steady-state compute (warm)
+  logs/budget_probes_r04.json  optional: measured per-iteration slopes from
+                             scripts/probe_scaling.py {"sfm_s_per_iter": ...,
+                             "charts_s_per_iter": ..., "train_ms_per_iter": ...}
+  logs/ab_dp_r04.json        DP equal-work A/B (quality parity evidence)
+
+Emits markdown to stdout; BUDGET.md embeds the output verbatim.  Every
+extrapolation rule is printed next to the number it produces.
+
+Reference schedule being extrapolated to (BASELINE.md):
+  SfM 1000+1000 iters, charts 1000 iters, GS 7000 iters x 4 rounds,
+  DDIM 50 steps x 3 stages, <=20 selected views/stage (we model the
+  measured per-view MVD cost linearly in views and steps).
+"""
+
+import json
+import os
+import sys
+
+REF = {
+    "sfm_iters": 2000,        # 1000 coarse + 1000 refine
+    "charts_iters": 1000,
+    "train_iters": 7000,      # per round, 4 rounds
+    "ddim_steps": 50,
+}
+
+
+def load(path, default=None):
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return default
+
+
+def stage_map(run):
+    if not run:
+        return {}
+    return {s["name"].split(" (")[0]: s for s in run.get("stages", [])
+            if s.get("ok")}
+
+
+def main():
+    warm = load("logs/budget_r04.json")
+    cold = load("logs/budget_r04_cold.json")
+    probes = load("logs/budget_probes_r04.json", {})
+    ab = load("logs/ab_dp_r04.json", {})
+    if warm is None:
+        sys.exit("logs/budget_r04.json missing — run scripts/run_budget.py")
+    args = warm["args"]
+    V = args["views"]
+    wm, cm = stage_map(warm), stage_map(cold)
+
+    sfm_iters = 400 if args.get("sfm_config") == "budget" else 2000
+    charts_iters = 300 if args.get("align_config") == "fast" else 1000
+    train_iters = args["train_iters"]
+    ddim_steps = args["ddim_steps"]
+
+    # --- per-stage extrapolation rules -----------------------------------
+    # (stage-name prefix, iteration scale factor to the reference schedule,
+    #  v5e-8 divisor, rule text). Divisors are conservative: view fan-out
+    #  stages divide by min(V, 8) — only as many shards as views; coupled
+    #  global optimizations and the joint-frame MVD denoise divide by 1.
+    fan = min(V, 8)
+    rules = [
+        ("sfm", REF["sfm_iters"] / sfm_iters, 1,
+         f"x{REF['sfm_iters'] / sfm_iters:g} iters ({sfm_iters}->"
+         f"{REF['sfm_iters']}); global optimization, no fan-out"),
+        ("init DA2", 1, 1, "param init, once"),
+        ("align_charts", REF["charts_iters"] / charts_iters, 1,
+         f"x{REF['charts_iters'] / charts_iters:g} iters ({charts_iters}->"
+         f"{REF['charts_iters']}); global optimization, no fan-out"),
+        ("render_chart_views", 1, fan,
+         f"/{fan} view fan-out (view_parallel_render)"),
+        ("init SAM", 1, 1, "param init, once"),
+        ("excavate_planes", 1, fan, f"/{fan} SAM mesh-sharded encode"),
+        ("refine_plane_depths", 1, fan, f"/{fan} per-view RANSAC renders"),
+        ("train_gaussians", REF["train_iters"] / train_iters, None,
+         f"x{REF['train_iters'] / train_iters:g} iters ({train_iters}->"
+         f"{REF['train_iters']}); v5e-8 = DP (allreduce model below)"),
+        ("init See3D", 1, 1, "param init, once"),
+        ("see3d_stage", None, 1,
+         "MVD: measured per-call s, x(50/%d) DDIM steps; joint-frame UNet "
+         "not sharded (conservative)" % ddim_steps),
+        ("extract_mesh", 1, fan, f"/{fan} TSDF view renders"),
+        ("evaluate", 1, fan, f"/{fan} per-view renders+metrics"),
+    ]
+
+    def rule_for(name):
+        for prefix, f, d, txt in rules:
+            if name.startswith(prefix):
+                return f, d, txt
+        return 1, 1, "no scaling"
+
+    # DP speedup from the allreduce model (filled below; used for rows with
+    # divisor None).
+    dp_speedup = None
+    cap = probes.get("capacity")
+    step_ms = probes.get("train_ms_per_iter")
+    if cap and step_ms:
+        grad_mb = cap * 58 * 4 / 1e6
+        # ring all-reduce on 8 chips: 2*(7/8)*bytes per chip over ICI
+        ici_gbps = 45.0
+        ar_ms = 2 * (7 / 8) * grad_mb / 1e3 / ici_gbps * 1e3
+        dp_speedup = 8.0 / (1.0 + ar_ms / step_ms)
+
+    print("### Measured stages (cold vs warm cache) and extrapolation\n")
+    print("| Stage | cold s | warm s | ref-schedule 1-chip s | v5e-8 s |"
+          " rule |")
+    print("|---|---|---|---|---|---|")
+    tot_1chip = tot_8 = 0.0
+    mvd_total_8 = 0.0
+    for s in warm["stages"]:
+        name = s["name"].split(" (")[0]
+        if not s.get("ok"):
+            print(f"| {s['name']} | — | FAILED: {s['note'][:60]} | | | |")
+            continue
+        w = s["seconds"]
+        c = cm.get(name, {}).get("seconds")
+        f, d, txt = rule_for(name)
+        # Per-iteration probes override whole-stage linear scaling where
+        # available (subtracting the fixed non-iterating part).
+        if name == "sfm" and probes.get("sfm_phase1_s_per_iter"):
+            p1 = probes["sfm_phase1_s_per_iter"]
+            p2 = probes["sfm_phase2_s_per_iter"]
+            i1, i2 = probes.get("sfm_iters", [sfm_iters // 2, sfm_iters // 2])
+            fixed = max(w - p1 * i1 - p2 * i2, 0.0)
+            ref_s = fixed + (p1 + p2) * (REF["sfm_iters"] // 2)
+            txt = (f"fixed {fixed:.0f}s + ({p1:.3f}+{p2:.3f}) s/iter x "
+                   f"{REF['sfm_iters'] // 2} (probe)")
+        elif name == "align_charts" and probes.get("charts_s_per_iter"):
+            per = probes["charts_s_per_iter"]
+            fixed = max(w - per * charts_iters, 0.0)
+            ref_s = fixed + per * REF["charts_iters"]
+            txt = (f"fixed {fixed:.0f}s + {per:.3f} s/iter x "
+                   f"{REF['charts_iters']} (probe)")
+        elif name == "train_gaussians" and probes.get("train_ms_per_iter"):
+            per = probes["train_ms_per_iter"] / 1e3
+            fixed = max(w - per * train_iters, 0.0)
+            ref_s = fixed + per * REF["train_iters"]
+            txt = (f"fixed {fixed:.0f}s + {per * 1e3:.1f} ms/iter x "
+                   f"{REF['train_iters']} (probe)")
+        elif name.startswith("see3d_stage"):
+            # per-stage MVD calls are instrumented separately; the non-MVD
+            # remainder (warps, VAE, selection renders) doesn't scale with
+            # DDIM steps.
+            ref_s = None
+        elif f is not None:
+            ref_s = w * f
+        if name.startswith("see3d_stage"):
+            print(f"| {s['name']} | {c if c is not None else '—'} | {w} |"
+                  f" see MVD table | | {txt} |")
+            tot_1chip += w  # non-MVD remainder counted at measured cost
+            tot_8 += w / (d or 1)
+            continue
+        if d is None:
+            d8 = ref_s / dp_speedup if dp_speedup else ref_s / 8.0
+            dtxt = (f"DP x{dp_speedup:.2f}" if dp_speedup
+                    else "DP /8 (no probe)")
+            txt += f"; {dtxt}"
+        else:
+            d8 = ref_s / d
+        tot_1chip += ref_s
+        tot_8 += d8
+        print(f"| {s['name']} | {c if c is not None else '—'} | {w} |"
+              f" {ref_s:.0f} | {d8:.0f} | {txt} |")
+
+    # ----- MVD calls ------------------------------------------------------
+    calls = warm.get("mvd_calls", [])
+    if calls:
+        print("\n### MVD (See3D UNet) DDIM extrapolation\n")
+        print("| call | frames | measured s @%d steps | s @50 steps |"
+              % ddim_steps)
+        print("|---|---|---|---|")
+        extra = 0.0
+        for i, cll in enumerate(calls):
+            s50 = cll["seconds"] * REF["ddim_steps"] / cll["ddim_steps"]
+            extra += s50 - cll["seconds"]
+            print(f"| {i} | {cll['frames']} | {cll['seconds']} | {s50:.0f} |")
+        print(f"\nAdditional MVD seconds at 50 steps: +{extra:.0f}s "
+              "(1-chip AND v5e-8 — UNet unsharded)")
+        tot_1chip += extra
+        tot_8 += extra
+
+    print(f"\n**Totals**: reference schedule on 1 v5e chip ~= "
+          f"{tot_1chip:.0f}s ({tot_1chip / 60:.1f} min); on v5e-8 ~= "
+          f"{tot_8:.0f}s ({tot_8 / 60:.1f} min) vs the 30-min target.")
+
+    if cap and step_ms:
+        print(f"\n### DP allreduce model\n\ncapacity={cap:,} splats -> "
+              f"grad pytree {cap * 58 * 4 / 1e6:.0f} MB; ring allreduce "
+              f"2*(7/8)*bytes over ICI at ~45 GB/s/link = {ar_ms:.1f} ms "
+              f"vs measured {step_ms:.1f} ms/step -> DP speedup "
+              f"~{dp_speedup:.2f}x on 8 chips.")
+    if ab:
+        print("\n### DP quality parity (logs/ab_dp_r04.json)\n")
+        for k in ("single", "dp8"):
+            if k in ab:
+                print(f"- {k}: {ab[k]}")
+
+
+if __name__ == "__main__":
+    main()
