@@ -209,6 +209,13 @@ class GaussianScene:
         R = np.asarray(self.rotmats())
         s2 = np.asarray(self.scaling())
         xyz, R, s2 = xyz[alive], R[alive], s2[alive]
+        # Non-finite splats (diverged training steps can leave NaN positions
+        # or exp-overflowed scales in live slots) would poison every corner
+        # point and abort Qhull downstream — drop them here.
+        finite = (np.isfinite(xyz).all(1) & np.isfinite(s2).all(1)
+                  & np.isfinite(R).all((1, 2)))
+        if not finite.all():
+            xyz, R, s2 = xyz[finite], R[finite], s2[finite]
         n = xyz.shape[0]
         if downsample_ratio < 1.0 and n > 0:
             rng = np.random.default_rng(seed)

@@ -1264,6 +1264,14 @@ class G4SplatPipeline:
             if ctx_txt.ndim == 2:
                 ctx_txt = ctx_txt[None]
         if ctx_img is not None and ctx_txt is not None:
+            if ctx_img.shape[-1] != ctx_txt.shape[-1]:
+                raise ValueError(
+                    "See3D conditioning width mismatch: text embedder emits "
+                    f"{ctx_txt.shape[-1]} but image embedder emits "
+                    f"{ctx_img.shape[-1]}. The reference pairs the SD2.1 "
+                    "OpenCLIP text tower (1024) with CLIP-ViT-H-14's "
+                    "projection_dim=1024 (mv_diffusion.py:35) — check the "
+                    "CLIPVision projection_dim / checkpoint pairing.")
             ctx1 = ctx_txt + ctx_img
         elif ctx_img is not None:
             ctx1 = ctx_img

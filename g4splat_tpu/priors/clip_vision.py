@@ -1,11 +1,14 @@
 """CLIP vision encoder (flax) — See3D's image-conditioning tower.
 
 The reference conditions its MVDream-style UNet on CLIP image embeddings
-(See3D_modules/mv_diffusion.py loads a CLIP image encoder alongside the
-UNet). This is the standard CLIP ViT: conv patch embed + class token +
-learned positions, pre-LN transformer, final LN, linear projection. The
-UNet cross-attends to the projected class token (and optionally the patch
-tokens).
+from ``CLIP-ViT-H-14-laion2B-s32B-b79K`` (See3D_modules/mv_diffusion.py:35
+loads ``CLIPVisionModelWithProjection``): embed 1280, 32 layers, 16 heads,
+projection_dim 1024 — the projection width deliberately matches the SD2.1
+OpenCLIP text tower's 1024 so ``prompt_embeds + image_embeds`` is a plain
+sum (pipeline_mvd_warp_mix_classifier.py:681). This is the standard CLIP
+ViT: conv patch embed + class token + learned positions, pre-LN
+transformer, final LN, linear projection. The UNet cross-attends to the
+projected class token (and optionally the patch tokens).
 
 `convert_torch_clip_vision` maps a huggingface CLIPVisionModel state dict;
 random init keeps the conditioning path exercisable offline.
@@ -27,12 +30,12 @@ _STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 class CLIPVision(nn.Module):
-    embed_dim: int = 1024         # ViT-L/14
-    depth: int = 24
+    embed_dim: int = 1280         # OpenCLIP ViT-H/14 (mv_diffusion.py:35)
+    depth: int = 32
     num_heads: int = 16
     patch_size: int = 14
     image_size: int = 224
-    projection_dim: int = 768
+    projection_dim: int = 1024    # == SD2.1 text width, so ctx sums cleanly
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -101,9 +104,17 @@ class CLIPImageEmbedder:
         return self.scale * jnp.tile(proj[:, None, :], (1, self.n_tokens, 1))
 
 
-def convert_torch_clip_vision(state: Dict, depth: int = 24) -> Dict:
-    """huggingface CLIPVisionModel(+projection) state dict → flax params."""
+def convert_torch_clip_vision(state: Dict,
+                              depth: Optional[int] = None) -> Dict:
+    """huggingface CLIPVisionModel(+projection) state dict → flax params.
+
+    ``depth`` defaults to the layer count present in the state dict (the
+    vision tower, unlike the SD2.x text tower, is consumed in full)."""
     pre = "vision_model."
+    if depth is None:
+        depth = 1 + max(
+            int(k.split(".")[3]) for k in state
+            if k.startswith(pre + "encoder.layers."))
     p = {
         "patch_embed": {
             "kernel": np.asarray(

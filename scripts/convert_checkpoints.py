@@ -146,7 +146,26 @@ def convert_see3d(src, dst):
     if cpath is not None:
         from g4splat_tpu.priors.clip_vision import convert_torch_clip_vision
 
-        _save(dst, "clip", convert_torch_clip_vision(cpath))
+        # Persist the architecture implied by the state dict so the CLI
+        # rebuilds the exact variant (See3D ships OpenCLIP ViT-H/14:
+        # embed 1280 / 32 layers / projection 1024, mv_diffusion.py:35).
+        vpre = "vision_model."
+        pe = np.asarray(cpath[vpre + "embeddings.patch_embedding.weight"])
+        vdepth = 1 + max(
+            int(k.split(".")[3]) for k in cpath
+            if k.startswith(vpre + "encoder.layers."))
+        patch = int(pe.shape[-1])
+        npos = int(np.asarray(
+            cpath[vpre + "embeddings.position_embedding.weight"]).shape[0])
+        vcfg = {
+            "embed_dim": int(pe.shape[0]),
+            "depth": vdepth,
+            "patch_size": patch,
+            "image_size": int(round((npos - 1) ** 0.5)) * patch,
+            "projection_dim": int(np.asarray(
+                cpath["visual_projection.weight"]).shape[0]),
+        }
+        _save(dst, "clip", convert_torch_clip_vision(cpath), vcfg)
     else:
         print(f"  [skip] clip: {croot} not found")
 

@@ -31,6 +31,17 @@ class TestCLIPVision:
         ctx2 = emb(1.0 - img)
         assert float(jnp.abs(ctx - ctx2).max()) > 1e-6
 
+    def test_default_towers_share_context_width(self):
+        # The UNet context is prompt_embeds + image_embeds (pipeline_mvd_
+        # warp_mix_classifier.py:681): ViT-H projection_dim must equal the
+        # SD2.1 text width or the sum fails (budget-run regression:
+        # "(1, 77, 1024) vs (1, 77, 768)").
+        from g4splat_tpu.priors.clip_text import CLIPText
+        from g4splat_tpu.priors.see3d import UNetConfig
+
+        assert (CLIPVision().projection_dim == CLIPText().width
+                == UNetConfig().context_dim == 1024)
+
     def test_torch_conversion(self):
         D, depth = 32, 2
         rng = np.random.RandomState(0)

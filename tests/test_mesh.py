@@ -70,6 +70,28 @@ class TestDelaunay:
         assert len(np.unique(cells)) > 480
 
 
+class TestTetraPoints:
+    def test_nonfinite_splats_dropped(self):
+        # Diverged training can leave NaN positions / overflowed scales in
+        # live slots; tetra_points must drop them so Qhull never sees NaN
+        # (budget-run regression: "ValueError: Points cannot contain NaN").
+        rng = np.random.RandomState(0)
+        xyz = rng.randn(20, 3).astype(np.float32)
+        scene = GaussianScene.from_points(
+            xyz, np.full((20, 3), 0.5, np.float32))
+        bad_xyz = np.asarray(scene.xyz).copy()
+        bad_xyz[3] = np.nan
+        bad_scale = np.asarray(scene.scaling_raw).copy()
+        bad_scale[7] = np.inf
+        scene = scene.replace(xyz=jnp.asarray(bad_xyz),
+                              scaling_raw=jnp.asarray(bad_scale))
+        pts, scales = scene.tetra_points()
+        assert np.isfinite(pts).all() and np.isfinite(scales).all()
+        assert pts.shape[0] == 9 * 18          # 2 of 20 splats dropped
+        cells = delaunay_tetrahedralize(pts)
+        assert cells.shape[1] == 4
+
+
 class TestTSDFIntegration:
     def test_plane_depth_fusion(self):
         # One camera at origin looking +z; depth map = constant 2.0 plane.
