@@ -51,8 +51,14 @@ def _texture(p: np.ndarray) -> np.ndarray:
     return (0.45 + 0.3 * f + 0.2 * checker[:, None]).clip(0.02, 0.98)
 
 
-def _plane_patch(origin, u, v, rng, density):
-    """Sample points + (normal, quad mesh) for a rectangle patch."""
+def _plane_patch(origin, u, v, rng, density, grid_spacing=0.025):
+    """Sample points + (normal, grid mesh) for a rectangle patch.
+
+    The mesh is a ``grid_spacing``-spaced triangle grid, NOT two big quads:
+    the reference's Chamfer protocol (mesh_eval.py:28-40) compares voxel-
+    downsampled VERTEX clouds, which is only meaningful when vertices
+    densely cover the surface (true for Replica scan meshes). Corner-only
+    quads made every predicted vertex ~0.6 m from its nearest GT vertex."""
     uu = rng.uniform(0, 1, (density, 1))
     vv = rng.uniform(0, 1, (density, 1))
     pts = (np.asarray(origin)[None]
@@ -60,8 +66,22 @@ def _plane_patch(origin, u, v, rng, density):
     nrm = np.cross(u, v)
     nrm = nrm / np.linalg.norm(nrm)
     o = np.asarray(origin, np.float32)
-    verts = np.stack([o, o + u, o + u + v, o + v]).astype(np.float32)
-    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    u = np.asarray(u, np.float32)
+    v = np.asarray(v, np.float32)
+    nu = max(int(np.ceil(np.linalg.norm(u) / grid_spacing)), 1)
+    nv = max(int(np.ceil(np.linalg.norm(v) / grid_spacing)), 1)
+    gu = np.linspace(0.0, 1.0, nu + 1, dtype=np.float32)
+    gv = np.linspace(0.0, 1.0, nv + 1, dtype=np.float32)
+    verts = (o[None, None]
+             + gu[:, None, None] * u[None, None]
+             + gv[None, :, None] * v[None, None]).reshape(-1, 3)
+    idx = np.arange((nu + 1) * (nv + 1)).reshape(nu + 1, nv + 1)
+    a = idx[:-1, :-1].ravel()
+    b = idx[1:, :-1].ravel()
+    c = idx[1:, 1:].ravel()
+    d = idx[:-1, 1:].ravel()
+    faces = np.concatenate(
+        [np.stack([a, b, c], 1), np.stack([a, c, d], 1)]).astype(np.int32)
     return pts.astype(np.float32), nrm.astype(np.float32), verts, faces
 
 
@@ -117,6 +137,42 @@ def box_room(points_per_m2: int = 9000, seed: int = 0):
     gt = GaussianScene.from_points(pts, cols, scales=scales, quats=quats,
                                    initial_opacity=0.95)
     return gt, (np.concatenate(verts_all), np.concatenate(faces_all))
+
+
+def cull_mesh_to_views(verts: np.ndarray, faces: np.ndarray,
+                       cameras, depths: np.ndarray,
+                       tol: float = 0.05):
+    """Restrict a GT mesh to the region observable from ``cameras``.
+
+    The reference evaluates against prepared scene GT meshes that cover
+    (roughly) the scanned region; an analytic room mesh includes surfaces no
+    train camera ever sees, which would charge Comp/Chamfer for geometry the
+    pipeline had zero evidence of. A vertex is kept when some camera sees it
+    within ``tol`` of that camera's GT depth map (frustum + occlusion test);
+    faces keep only fully-visible triangles."""
+    import jax
+
+    V = jax.tree.leaves(cameras)[0].shape[0]
+    keep = np.zeros(len(verts), bool)
+    for i in range(V):
+        cam = jax.tree.map(lambda x, i=i: np.asarray(x[i]), cameras)
+        w2c = np.asarray(cam.w2c)
+        p = verts @ w2c[:3, :3].T + w2c[:3, 3]
+        z = p[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = p[:, 0] / z * float(cam.fx) + float(cam.cx)
+            v = p[:, 1] / z * float(cam.fy) + float(cam.cy)
+        H, W = depths[i].shape
+        inb = (z > 1e-6) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        ui = np.clip(u.astype(np.int64), 0, W - 1)
+        vi = np.clip(v.astype(np.int64), 0, H - 1)
+        d = depths[i][vi, ui]
+        keep |= inb & (z <= d + tol)
+    fkeep = keep[faces].all(axis=1)
+    used = np.unique(faces[fkeep])
+    remap = np.full(len(verts), -1, np.int64)
+    remap[used] = np.arange(len(used))
+    return verts[used], remap[faces[fkeep]].astype(np.int32)
 
 
 def room_cameras(n: int, width: int, height: int):
@@ -190,6 +246,11 @@ def quality_run(out_dir: str,
     pipe.excavate_planes()
     pipe.refine_plane_depths()
     pipe.train_gaussians()
+    # Chamfer against the train-visible region only (cull_mesh_to_views):
+    # surfaces no train camera sees are not reconstruction failures.
+    tc = jax.tree.map(lambda x: x[np.asarray(train_ids)], cameras)
+    gt_mesh = cull_mesh_to_views(gt_mesh[0], gt_mesh[1], tc,
+                                 depths[train_ids])
     results = pipe.evaluate(gt_mesh=gt_mesh)
     results["timings"] = {k: round(v, 2) for k, v in pipe.timings.items()}
     return results

@@ -247,7 +247,11 @@ def _view_parallel_fn(mesh: Mesh, backend: str, keys: tuple,
     from g4splat_tpu.ops.rasterize import render
     from g4splat_tpu.ops.rasterize_common import RenderConfig
 
-    cfg = RenderConfig(depth_ratio=depth_ratio)
+    # Distortion-moment scans cost ~2x forward at multi-million-splat
+    # shapes (scripts/profile_budget_step.py); compute them only when the
+    # caller actually asked for the channel.
+    cfg = RenderConfig(depth_ratio=depth_ratio,
+                       compute_distortion="rend_dist" in keys)
 
     @jax.jit
     @partial(

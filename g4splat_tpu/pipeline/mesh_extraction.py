@@ -89,7 +89,10 @@ def render_all_views(scene: GaussianScene, cameras: Camera, depth_ratio: float,
     """Render every camera once; returns stacked (V, H, W[,3]) maps."""
     s = scene if sh_degree is None else scene.replace(active_sh_degree=sh_degree)
     n = cameras.w2c.shape[0]
-    cfg = RenderConfig(bg=jnp.zeros(3), depth_ratio=depth_ratio)
+    # No rend_dist consumer in mesh extraction: skip the distortion scans
+    # (~2x forward at multi-million-splat shapes, profile_budget_step.py).
+    cfg = RenderConfig(bg=jnp.zeros(3), depth_ratio=depth_ratio,
+                       compute_distortion=False)
 
     rgbs, depths, surf_normals, rend_normals, alphas = [], [], [], [], []
     for i in range(n):

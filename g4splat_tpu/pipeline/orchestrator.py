@@ -792,10 +792,13 @@ class G4SplatPipeline:
                 densify_until_iter=max(
                     1, int(sched.get("densify_until_iter", iters // 2) * ratio)
                 ),
-                opacity_reset_interval=max(
-                    1, int(sched.get("opacity_reset_interval",
-                                     max(1000, iters // 7)) * ratio)
-                ),
+                # UNSCALED: the reference treats the reset interval as an
+                # absolute cadence (train_with_refine_depth.py arg), and the
+                # ~200-iter opacity-recovery horizon doesn't shrink with the
+                # run — a ratio-scaled interval left shortened runs with a
+                # reset a few dozen iters before the end (PSNR collapse).
+                opacity_reset_interval=int(
+                    sched.get("opacity_reset_interval", 1000)),
                 normal_consistency_from=int(
                     sched.get("normal_consistency_from", iters // 2) * ratio
                 ),
@@ -1420,7 +1423,8 @@ class G4SplatPipeline:
         renders = []
         for v in range(n_views):
             cam = jax.tree.map(lambda x: x[v], cameras)
-            out = render(cam, st.scene, config=RenderConfig(),
+            out = render(cam, st.scene,
+                         config=RenderConfig(compute_distortion=False),
                          backend=self.cfg.render_backend)
             img = np.asarray(out["render"])
             renders.append(img)

@@ -12,6 +12,12 @@ the training views for both arms plus per-step wall time.  The CPU mesh is
 scaling only; the real-chip per-step milliseconds and the ICI allreduce
 model live in BUDGET.md (sweep_train.py measures the chip step).
 
+The plain dp8 arm gets 8x fewer Adam steps than single — the round-4 run
+showed that costs real quality (13.8 vs 27.3 dB PSNR). ``dp8_lr`` applies
+the sqrt-batch learning-rate scaling rule (x sqrt(8) on every param group)
+to recover it; ``--arms`` selects which arms run (results merge into the
+JSON so arms can run in separate invocations on this 1-core box).
+
 Writes logs/ab_dp_r04.json.
 """
 
@@ -40,8 +46,10 @@ def main():
     ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--res", type=int, default=64)
     ap.add_argument("--points", type=int, default=300)
+    ap.add_argument("--arms", default="single,dp8,dp8_lr")
     ap.add_argument("--json", default="logs/ab_dp_r04.json")
     args = ap.parse_args()
+    arms = set(args.arms.split(","))
 
     import jax
 
@@ -105,40 +113,54 @@ def main():
                       spatial_lr_scale=1.0)
 
     results = {}
+    if os.path.exists(args.json):
+        with open(args.json) as f:
+            results = json.load(f)
+
+    def run_arm(name, trainer_cfg, n_steps, mesh=None, extra=None):
+        tr = Trainer(init(), cameras, views, trainer_cfg, seed=0, mesh=mesh)
+        t0 = time.perf_counter()
+        tr.train(n_steps)
+        dt = time.perf_counter() - t0
+        sc = jax.tree.map(lambda x: np.asarray(x), tr.scene)
+        results[name] = {
+            "iters": n_steps, "views_per_step": 8 if mesh else 1,
+            "wall_s": round(dt, 2),
+            "ms_per_step": round(dt / n_steps * 1e3, 1),
+            "psnr": round(psnr_all(sc), 3), **(extra or {}),
+        }
+        print(f"{name}:", results[name], flush=True)
+
     # ------------------------------------------------- arm A: single device
-    tr = Trainer(init(), cameras, views, cfg, seed=0)
-    t0 = time.perf_counter()
-    tr.train(args.iters)
-    dt = time.perf_counter() - t0
-    sc = tr.scene
-    if hasattr(sc, "addressable_shards"):
-        sc = jax.tree.map(lambda x: np.asarray(x), sc)
-    results["single"] = {
-        "iters": args.iters, "views_per_step": 1,
-        "wall_s": round(dt, 2), "ms_per_step": round(dt / args.iters * 1e3, 1),
-        "psnr": round(psnr_all(sc), 3),
-    }
-    print("single:", results["single"], flush=True)
+    if "single" in arms:
+        run_arm("single", cfg, args.iters)
 
     # ------------------------------------------------------- arm B: 8-way DP
-    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
     dp_iters = args.iters // 8
-    cfg_dp = TrainConfig(
+    dp_kw = dict(
         iterations=dp_iters, densify_until_iter=dp_iters // 2,
         opacity_reset_interval=10 ** 9,
         normal_consistency_from=dp_iters // 2,
         distortion_from=dp_iters // 4, spatial_lr_scale=1.0)
-    tr = Trainer(init(), cameras, views, cfg_dp, seed=0, mesh=mesh)
-    t0 = time.perf_counter()
-    tr.train(dp_iters)
-    dt = time.perf_counter() - t0
-    sc = jax.tree.map(lambda x: np.asarray(x), tr.scene)
-    results["dp8"] = {
-        "iters": dp_iters, "views_per_step": 8,
-        "wall_s": round(dt, 2), "ms_per_step": round(dt / dp_iters * 1e3, 1),
-        "psnr": round(psnr_all(sc), 3),
-    }
-    print("dp8:", results["dp8"], flush=True)
+    if "dp8" in arms:
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        run_arm("dp8", TrainConfig(**dp_kw), dp_iters, mesh=mesh)
+
+    # ------------------- arm C: 8-way DP + sqrt-batch LR scaling (Adam rule)
+    if "dp8_lr" in arms:
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        s = float(np.sqrt(8.0))
+        base = TrainConfig(**dp_kw)
+        cfg_lr = base.replace(
+            position_lr_init=base.position_lr_init * s,
+            position_lr_final=base.position_lr_final * s,
+            feature_lr=base.feature_lr * s,
+            opacity_lr=base.opacity_lr * s,
+            scaling_lr=base.scaling_lr * s,
+            rotation_lr=base.rotation_lr * s,
+        )
+        run_arm("dp8_lr", cfg_lr, dp_iters, mesh=mesh,
+                extra={"lr_scale": round(s, 3)})
 
     results["note"] = (
         "equal total view-visits; CPU virtual mesh -> per-step times show "

@@ -98,16 +98,31 @@ def main():
         return 1, 1, "no scaling"
 
     # DP speedup from the allreduce model (filled below; used for rows with
-    # divisor None).
+    # divisor None). The equal-view-visit reading of the 7000-iter schedule
+    # (875 steps x 8 views) only cuts wall-clock if quality survives 8x
+    # fewer Adam steps — gate the divisor on the LR-scaled A/B arm
+    # (scripts/ab_dp.py dp8_lr) coming within 1 dB of the single arm.
     dp_speedup = None
+    dp_quality_ok = False
+    if "single" in ab and "dp8_lr" in ab:
+        dp_quality_ok = (ab["dp8_lr"]["psnr"] >= ab["single"]["psnr"] - 1.0)
     cap = probes.get("capacity")
     step_ms = probes.get("train_ms_per_iter")
+    ar_ms = None
     if cap and step_ms:
         grad_mb = cap * 58 * 4 / 1e6
         # ring all-reduce on 8 chips: 2*(7/8)*bytes per chip over ICI
         ici_gbps = 45.0
         ar_ms = 2 * (7 / 8) * grad_mb / 1e3 / ici_gbps * 1e3
-        dp_speedup = 8.0 / (1.0 + ar_ms / step_ms)
+        model_speedup = 8.0 / (1.0 + ar_ms / step_ms)
+        if dp_quality_ok:
+            dp_speedup = model_speedup
+        else:
+            # Quality parity NOT demonstrated: v5e-8 runs the full step
+            # count (8 views/step improves quality, not wall-clock) and
+            # only pays the allreduce overhead.
+            dp_speedup = 1.0 / (1.0 + ar_ms / step_ms) \
+                if step_ms else None
 
     print("### Measured stages (cold vs warm cache) and extrapolation\n")
     print("| Stage | cold s | warm s | ref-schedule 1-chip s | v5e-8 s |"
@@ -159,9 +174,15 @@ def main():
             tot_8 += w / (d or 1)
             continue
         if d is None:
-            d8 = ref_s / dp_speedup if dp_speedup else ref_s / 8.0
-            dtxt = (f"DP x{dp_speedup:.2f}" if dp_speedup
-                    else "DP /8 (no probe)")
+            d8 = ref_s / dp_speedup if dp_speedup else ref_s
+            if dp_speedup and dp_quality_ok:
+                dtxt = f"DP x{dp_speedup:.2f} (dp8_lr quality parity)"
+            elif dp_speedup:
+                dtxt = (f"DP x{dp_speedup:.2f}: NO wall-clock cut — "
+                        "equal-visit quality parity not demonstrated "
+                        "(ab_dp), full step count + allreduce overhead")
+            else:
+                dtxt = "no DP model (probe missing)"
             txt += f"; {dtxt}"
         else:
             d8 = ref_s / d
@@ -195,8 +216,10 @@ def main():
         print(f"\n### DP allreduce model\n\ncapacity={cap:,} splats -> "
               f"grad pytree {cap * 58 * 4 / 1e6:.0f} MB; ring allreduce "
               f"2*(7/8)*bytes over ICI at ~45 GB/s/link = {ar_ms:.1f} ms "
-              f"vs measured {step_ms:.1f} ms/step -> DP speedup "
-              f"~{dp_speedup:.2f}x on 8 chips.")
+              f"vs measured {step_ms:.1f} ms/step -> ideal equal-visit DP "
+              f"~{8.0 / (1.0 + ar_ms / step_ms):.2f}x on 8 chips; applied "
+              f"train divisor {dp_speedup:.2f}x (quality-parity gated, "
+              f"see above).")
     if ab:
         print("\n### DP quality parity (logs/ab_dp_r04.json)\n")
         for k in ("single", "dp8"):

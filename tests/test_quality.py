@@ -39,7 +39,18 @@ class TestSyntheticGeometry:
             for sgn in (-1, 1):
                 d = np.minimum(d, np.abs(xyz[:, ax] - (c[ax] + sgn * h)))
         assert float(d.max()) < 1e-5
-        assert len(faces) == 2 * 9  # 4 room patches + 5 cube faces
+        # GT mesh vertices must DENSELY cover the surfaces (the Chamfer
+        # protocol compares vertex clouds, mesh_eval.py:28-40) and lie on
+        # the same plane set as the splats.
+        dv = np.full(len(verts), np.inf)
+        for ax, off in planes:
+            dv = np.minimum(dv, np.abs(verts[:, ax] - off))
+        for ax in range(3):
+            for sgn in (-1, 1):
+                dv = np.minimum(dv, np.abs(verts[:, ax] - (c[ax] + sgn * h)))
+        assert float(dv.max()) < 1e-5
+        assert len(verts) > 10_000          # dense grid, not corner quads
+        assert len(faces) > 20_000
 
 
 @pytest.mark.slow
