@@ -33,6 +33,10 @@ from jax import lax
 # element would exceed this many elements (f32): 4096^2 = 64 MB of logits
 # per (batch, head) — past that the fused XLA path starts spilling.
 _DENSE_LOGITS_LIMIT = 4096 * 4096
+# Opt-in routing to the shipped Pallas flash kernel for shapes it tiles
+# cleanly (D >= 128, block-divisible N/M) — see memory_efficient_attention.
+_USE_TPU_FLASH = bool(int(__import__("os").environ.get(
+    "G4_TPU_FLASH_ATTENTION", "0")))
 
 # Default tile sizes: 8 MB f32 logits tile per (batch, head) pair.
 _Q_CHUNK = 1024
@@ -138,9 +142,17 @@ def memory_efficient_attention(q, k, v):
     Measured on v5e at the MV-UNet budget shape (B=2, H=5, D=64, N=M=36864):
     chunked 76.1 ms vs the shipped Pallas flash kernel's 87.9 ms (D=64 pads
     to 128 lanes there, idling half the MXU), both exact to 5e-5 — so the
-    chunked path is the big-problem default and ``_tpu_flash`` stays as the
-    documented alternative for cleanly-tiling D>=128 workloads."""
-    N, M = q.shape[1], k.shape[1]
-    if N * M <= _DENSE_LOGITS_LIMIT:
+    chunked path is the big-problem default; set G4_TPU_FLASH_ATTENTION=1 to
+    route cleanly-tiling D>=128 workloads to ``_tpu_flash`` instead.
+
+    The dense-path budget counts the full (B, H, N, M) logits tensor, not
+    just N·M — large batch·head products spill to the chunked path too."""
+    B, N, H, _ = q.shape
+    M = k.shape[1]
+    if B * H * N * M <= _DENSE_LOGITS_LIMIT:
         return jax.nn.dot_product_attention(q, k, v)
+    if _USE_TPU_FLASH and jax.default_backend() not in ("cpu",):
+        out = _tpu_flash(q, k, v)
+        if out is not None:
+            return out
     return chunked_attention(q, k, v)

@@ -250,8 +250,13 @@ def _view_parallel_fn(mesh: Mesh, backend: str, keys: tuple,
     # Distortion-moment scans cost ~2x forward at multi-million-splat
     # shapes (scripts/profile_budget_step.py); compute them only when the
     # caller actually asked for the channel.
-    cfg = RenderConfig(depth_ratio=depth_ratio,
-                       compute_distortion="rend_dist" in keys)
+    cfg = RenderConfig(
+        depth_ratio=depth_ratio,
+        # Any distortion-moment output (not just rend_dist) needs the scans —
+        # mirrors _tile_parallel_fn's need_aux gate.
+        compute_distortion=bool(
+            {"rend_dist", "dist_m1", "dist_m2"} & set(keys)),
+    )
 
     @jax.jit
     @partial(

@@ -40,11 +40,14 @@ import optax
 from g4splat_tpu.core.cameras import Camera
 from g4splat_tpu.core.geometry import depth_to_normal
 
+from g4splat_tpu.train.losses import normal_to_curvature
+
 # Steady-state per-iteration seconds of the last align_charts call
 # (compile-free: the clock starts after step 0). Profiling aid consumed by
-# scripts/probe_scaling.py for BUDGET.md's iteration-scaling extrapolation.
+# scripts/probe_scaling.py for BUDGET.md's iteration-scaling extrapolation
+# only — a single-run debug hook, not reentrant; pipeline results never
+# read it.
 LAST_STATS: Dict[str, float] = {}
-from g4splat_tpu.train.losses import normal_to_curvature
 
 
 @dataclass(frozen=True)
@@ -60,6 +63,10 @@ class ChartAlignConfig:
     confidence_weighting: float = 0.2
     # Optimization (charts_alignment.py:36-66 defaults)
     n_iterations: int = 1000
+    # Iterations fused per device dispatch (lax.scan length). 50 amortizes
+    # the remote-tunnel round-trip ~50× while keeping loss logging usable;
+    # 1 restores the step-by-step loop.
+    scan_chunk: int = 50
     normal_loss_weight: float = 4.0
     curvature_loss_weight: float = 1.0
     matching_loss_weight: float = 5.0
@@ -369,22 +376,57 @@ def align_charts(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # Iterations ride a fused lax.scan in chunks: per-iteration host
+    # dispatch dominated this stage at budget scale (0.785 s/iter measured
+    # over the remote-tunneled chip for a 3×64-MLP deformation field —
+    # dispatch, not compute; reference parallel_aligner.py:602-890 runs its
+    # 1000 iters in minutes on GPU). The step carries no per-iteration host
+    # state (the LR boundaries live in the optax schedule's own counter),
+    # so scanning K steps per dispatch is semantics-identical to the
+    # step-by-step loop.
+    def scan_body(carry, _):
+        params, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    chunk = max(1, min(cfg.scan_chunk, cfg.n_iterations))
+
+    @jax.jit
+    def run_chunk(params, opt_state):
+        (params, opt_state), ls = jax.lax.scan(
+            scan_body, (params, opt_state), None, length=chunk)
+        return params, opt_state, ls
+
     losses = []
     LAST_STATS.clear()
     t_ss = None
-    for it in range(cfg.n_iterations):
-        params, opt_state, loss = step(params, opt_state)
-        if it == 0:
+    done = 0
+    log_every = max(1, cfg.n_iterations // 20)
+    next_log = 0
+    while done + chunk <= cfg.n_iterations:
+        params, opt_state, ls = run_chunk(params, opt_state)
+        if done == 0:
             # Steady-state clock starts after the compile-carrying first
-            # step (consumed by scripts/probe_scaling.py for BUDGET.md).
-            jax.block_until_ready(loss)
+            # chunk (consumed by scripts/probe_scaling.py for BUDGET.md).
+            jax.block_until_ready(ls)
             t_ss = time.perf_counter()
-        if it % max(1, cfg.n_iterations // 20) == 0:
+        while next_log < done + chunk:
+            losses.append(float(ls[next_log - done]))
+            next_log += log_every
+        done += chunk
+    for _ in range(cfg.n_iterations - done):   # remainder (< chunk steps)
+        params, opt_state, loss = step(params, opt_state)
+        if done == next_log:
             losses.append(float(loss))
-    if cfg.n_iterations > 1:
-        jax.block_until_ready(loss)
+            next_log += log_every
+        done += 1
+    if cfg.n_iterations > chunk and t_ss is not None:
+        jax.block_until_ready((params, opt_state))
         LAST_STATS["s_per_iter"] = (
-            time.perf_counter() - t_ss) / (cfg.n_iterations - 1)
+            time.perf_counter() - t_ss) / (cfg.n_iterations - chunk)
+        LAST_STATS["iters"] = cfg.n_iterations
 
     verts = forward_deformation(params, state, cfg)
     dd = view_depths(cameras, verts)

@@ -819,18 +819,21 @@ class G4SplatPipeline:
                 color_weight=jnp.asarray(st.color_weights),
                 scale_factor=jnp.asarray(10.0),
             )
-            # Data-parallel training when a multi-device mesh fits the view
-            # count (one view per device per step; grads pmean'd, densify
-            # stats psum'd — trainer.make_dp_train_step). Auto mode engages
-            # only on real accelerator meshes: the virtual CPU test mesh
-            # must not silently change the training batch semantics.
+            # Data-parallel training is OFF unless explicitly requested:
+            # the measured A/B (logs/ab_dp_r05.json — equal total
+            # view-visits, same schedule) puts dp8 at 13.8 dB and the
+            # sqrt-batch-LR rescue arm (dp8_lr) at 16.2 dB versus 27.3 dB
+            # single-device. Large-batch/few-step training does not hold
+            # quality on this problem, so auto-engaging DP on a multi-chip
+            # mesh would silently train ~11 dB worse. Multi-chip speedups
+            # come from quality-exact sharding instead (splat/tile-sharded
+            # rendering, parallel/gaussian_shard.py + mesh.py).
             mesh = None
             n_dev = len(jax.devices())
             V = len(st.images)
             use_dp = (cfg.data_parallel_training
                       if cfg.data_parallel_training is not None
-                      else n_dev > 1
-                      and jax.devices()[0].platform.lower() != "cpu")
+                      else False)
             if use_dp and n_dev > 1:
                 n_data = max(
                     (d for d in range(2, min(n_dev, V) + 1) if V % d == 0),

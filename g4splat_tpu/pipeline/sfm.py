@@ -586,6 +586,7 @@ def sparse_global_alignment(
             jax.block_until_ready(l)
             LAST_STATS[f"phase{phase + 1}_s_per_iter"] = (
                 time.perf_counter() - t_ss) / (niter - 1)
+            LAST_STATS[f"phase{phase + 1}_iters"] = niter
 
     R_abs, t_abs = jax.jit(compose_chain)(params)
     if cfg.shared_intrinsics:

@@ -157,13 +157,31 @@ def convert_see3d(src, dst):
         patch = int(pe.shape[-1])
         npos = int(np.asarray(
             cpath[vpre + "embeddings.position_embedding.weight"]).shape[0])
+        # num_heads: from the shipped config.json when present; else a
+        # known-variant table (CLIPVision's default of 16 is right for
+        # ViT-L/H but silently wrong for e.g. ViT-bigG's 20 heads).
+        embed_dim = int(pe.shape[0])
+        vcfg_path = os.path.join(croot, "config.json")
+        if os.path.isfile(vcfg_path):
+            import json
+
+            with open(vcfg_path) as f:
+                num_heads = int(json.load(f).get(
+                    "num_attention_heads", embed_dim // 80))
+        else:
+            known = {768: 12, 1024: 16, 1280: 16, 1664: 20}
+            assert embed_dim in known, (
+                f"unknown CLIP vision width {embed_dim}: no config.json and "
+                "no known num_heads — refusing to guess")
+            num_heads = known[embed_dim]
         vcfg = {
-            "embed_dim": int(pe.shape[0]),
+            "embed_dim": embed_dim,
             "depth": vdepth,
             "patch_size": patch,
             "image_size": int(round((npos - 1) ** 0.5)) * patch,
             "projection_dim": int(np.asarray(
                 cpath["visual_projection.weight"]).shape[0]),
+            "num_heads": num_heads,
         }
         _save(dst, "clip", convert_torch_clip_vision(cpath), vcfg)
     else:

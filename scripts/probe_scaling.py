@@ -101,7 +101,10 @@ def main():
         sfm_mod.LAST_STATS.get("phase1_s_per_iter", 0.0), 4)
     out["sfm_phase2_s_per_iter"] = round(
         sfm_mod.LAST_STATS.get("phase2_s_per_iter", 0.0), 4)
-    out["sfm_iters"] = [200, 200]
+    # Actual per-phase iteration counts from the run itself (the resolved
+    # mast3r config drives them; hardcoding desynced make_budget before).
+    out["sfm_iters"] = [int(sfm_mod.LAST_STATS.get("phase1_iters", 0)),
+                        int(sfm_mod.LAST_STATS.get("phase2_iters", 0))]
     dump()
     del p
 
@@ -114,7 +117,7 @@ def main():
     pipe.align_charts()
     out["charts_stage_s"] = round(time.perf_counter() - t0, 2)
     out["charts_s_per_iter"] = round(ca.LAST_STATS.get("s_per_iter", 0.0), 4)
-    out["charts_iters"] = 300
+    out["charts_iters"] = int(ca.LAST_STATS.get("iters", 0))
     dump()
 
     # ------------------------------------------------- trainer ms/step

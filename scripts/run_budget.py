@@ -266,6 +266,7 @@ def main():
 
     priors.see3d = priors.vae = None
     priors.image_embedder = priors.text_embedder = None
+    timed("render_all (train+test renders)", pipe.render_all)
     timed("extract_mesh (adaptive tetra)", pipe.extract_mesh)
     timed("evaluate", pipe.evaluate, gt_images=images)
     dump()

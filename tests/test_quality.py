@@ -53,6 +53,22 @@ class TestSyntheticGeometry:
         assert len(faces) > 20_000
 
 
+class TestChamferUnits:
+    def test_chamfer_is_centimeters(self):
+        """evaluate_mesh reports Acc/Comp/Chamfer-L1 ×100 (centimeters for a
+        meters-scale scene), matching the reference schema
+        (eval/mesh_eval.py:62-76). The quality gate's thresholds are in cm —
+        this pins the scale so a unit change breaks loudly, not silently."""
+        from g4splat_tpu.eval.mesh_metrics import evaluate_mesh
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+        shifted = pts + np.array([0.01, 0.0, 0.0], np.float32)  # 1 cm
+        res = evaluate_mesh(pts, None, shifted, None)
+        assert abs(res["Chamfer-L1"] - 1.0) < 1e-4, res  # 0.01 m == 1.0 cm
+        assert abs(res["Acc"] - 1.0) < 1e-4
+
+
 @pytest.mark.slow
 class TestQualityGate:
     def test_box_room_psnr_and_chamfer(self, tmp_path):
