@@ -85,13 +85,15 @@ def render(
         n_contrib = out.n_contrib.reshape(H, W)
         m1_tot = out.m1_tot.reshape(H, W)
         m2_tot = out.m2_tot.reshape(H, W)
+        n_dropped = jnp.int32(0)   # dense oracle composites every splat
     elif backend == "tiled":
         from g4splat_tpu.ops.rasterize_tiled import render_tiled
 
-        buf = (None if config.buf_factor == 4
+        buf = (config.buf_size if config.buf_size > 0
+               else None if config.buf_factor == 4
                else config.buf_factor * prep.depth.shape[0])
         (color, alpha, normal_cam, depth_acc, median_depth, distortion,
-         final_T, n_contrib, m1_tot, m2_tot) = (
+         final_T, n_contrib, m1_tot, m2_tot, n_dropped) = (
             render_tiled(camera, prep_b, bg, near=config.near,
                          far=config.far, tile_k=config.tile_k,
                          buf_size=buf,
@@ -103,10 +105,11 @@ def render(
     elif backend == "pallas":
         from g4splat_tpu.ops.rasterize_pallas import render_pallas
 
-        buf = (None if config.buf_factor == 4
+        buf = (config.buf_size if config.buf_size > 0
+               else None if config.buf_factor == 4
                else config.buf_factor * prep.depth.shape[0])
         (color, alpha, normal_cam, depth_acc, median_depth, distortion,
-         final_T, n_contrib, m1_tot, m2_tot) = (
+         final_T, n_contrib, m1_tot, m2_tot, n_dropped) = (
             render_pallas(camera, prep_b, bg, near=config.near,
                           far=config.far, need_aux=need_aux,
                           buf_size=buf,
@@ -153,6 +156,10 @@ def render(
         # stop-gradient outputs.
         "dist_m1": m1_tot,
         "dist_m2": m2_tot,
+        # Entries lost to static binning caps (buffer overflow / tile cap /
+        # compaction overflow) — 0 in healthy operation; the trainer
+        # surfaces it so capacity-knob overflow is loud, never silent.
+        "n_dropped": n_dropped,
     }
     if _DEBUG_DUMP:
         _dump_if_nonfinite(out, camera, scene, backend)

@@ -81,6 +81,12 @@ class RenderConfig:
     # With ellipse pruning the mean entries/splat drops ~24%, so smaller
     # factors fit more scenes — measure with scripts/sweep_train.py.
     buf_factor: int = struct.field(pytree_node=False, default=4)
+    # Absolute sorted-entry buffer size; overrides buf_factor when > 0.
+    # The trainer auto-tunes this from a measured real-entry count
+    # (Trainer._autotune_buf): at high-splat/low-res shapes the factor-4
+    # default is ~6x oversized, and the pack gather + backward scatter both
+    # scale with it.
+    buf_size: int = struct.field(pytree_node=False, default=0)
     # Compute the 2DGS depth-distortion channel (rend_dist + its moment
     # bookkeeping). The reference's production default is lambda_dist = 0.0
     # (2d-gaussian-splatting/arguments/__init__.py:86), so the trainer turns

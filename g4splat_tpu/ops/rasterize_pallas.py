@@ -56,8 +56,12 @@ RASTER_GROUP = 4            # tiles per grid step (amortizes step overhead)
 EARLY_BREAK = True          # break the chunk walk once the tile saturates
                             # (exact; False = legacy full walk, kept as an
                             # ablation/fallback switch)
-COMB_F = 24                 # rows 0-8 Tu/Tv/Tw, 9-10 center, 11 opacity,
-                            # 12-14 rgb, 15-17 normal, 18-23 pad (3×8 sublanes)
+SLIM_F = 16                 # entry-table rows: 0-8 Tu/Tv/Tw, 9 opacity,
+                            # 10-12 rgb, 13-15 normal (2×8 sublanes; the
+                            # low-pass center is recomputed from T in-kernel)
+COMB_F = 24                 # BWD per-entry gradient rows: 0-8 dT, 9-10
+                            # d_center, 11 d_opacity, 12-14 d_rgb,
+                            # 15-17 d_normal, 18-23 pad (3×8 sublanes)
 GEOM_F = 16                 # legacy geometry row budget (bwd kernel scratch)
 VAL_F = 8                   # r g b nx ny nz (pad to 8) — output channel count
 # Prefix/suffix scan implementation inside the kernels: "matmul" = triangular
@@ -94,9 +98,9 @@ def _scan_incl_rev(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _pack_entries(prep: Preprocessed, gid: jnp.ndarray, entry_valid: jnp.ndarray,
-                  slim: bool = False):
-    """Gather per-entry features into one lane-major (COMB_F, E) table.
+def _pack_entries(prep: Preprocessed, gid: jnp.ndarray,
+                  entry_valid: jnp.ndarray = None):
+    """Gather per-entry features into one lane-major (SLIM_F, E) table.
 
     One column-gather from a pre-concatenated per-splat feature table — a
     single fused HBM pass (separate per-field gathers + a big (E, F)→(F, E)
@@ -105,24 +109,16 @@ def _pack_entries(prep: Preprocessed, gid: jnp.ndarray, entry_valid: jnp.ndarray
     tile's [start, start+count) range, so the kernel's in_count mask already
     excludes them — no per-entry masking needed here.
 
-    slim=True (inference kernel): 16 rows [T(9), opa, rgb(3), normal(3)] —
-    two sublane tiles instead of three (gather cost scales with ⌈rows/8⌉);
-    the low-pass center is recomputed from the T rows inside the kernel.
+    16 rows [T(9), opa, rgb(3), normal(3)]: two f32 sublane tiles instead of
+    the previous 24-row table's three (gather cost and per-chunk kernel DMA
+    both scale with ⌈rows/8⌉); the low-pass center is recomputed from the T
+    rows inside BOTH kernels (preprocess dual-conic math) — ~12 (1, CHUNK)
+    row ops per chunk versus a whole extra sublane tile of HBM traffic.
     """
     del entry_valid
     P = prep.depth.shape[0]
     opa = jnp.where(prep.valid, prep.opacity, 0.0)
-    if slim:
-        fields = [prep.T.reshape(P, 9), opa[:, None], prep.rgb, prep.normal]
-    else:
-        fields = [
-            prep.T.reshape(P, 9),
-            prep.center,
-            opa[:, None],
-            prep.rgb,
-            prep.normal,
-            jnp.zeros((P, COMB_F - 18)),
-        ]
+    fields = [prep.T.reshape(P, 9), opa[:, None], prep.rgb, prep.normal]
     table = jnp.concatenate(fields, axis=1)
     return jnp.take(table.T.astype(jnp.float32), gid, axis=1)
 
@@ -256,26 +252,23 @@ def _render_one_tile(
         Tu0, Tu1, Tu2 = row(0), row(1), row(2)
         Tv0, Tv1, Tv2 = row(3), row(4), row(5)
         Tw0, Tw1, Tw2 = row(6), row(7), row(8)
-        if want_aux:
-            cx, cy, opa = row(9), row(10), row(11)
-        else:
-            # Slim 16-row table: recompute the low-pass center from the
-            # T rows (preprocess dual-conic math, forward.cu:119-147) on
-            # (1, CHUNK) vectors — ~12 row ops versus a whole extra
-            # sublane tile in the entry gather.
-            opa = row(9)
-            C2 = 9.0  # CUTOFF²
-            dist = C2 * (Tw0 * Tw0 + Tw1 * Tw1) - Tw2 * Tw2
-            cok = jnp.abs(dist) > 1e-12
-            cinv = 1.0 / jnp.where(cok, dist, 1.0)
-            cx = jnp.where(
-                cok,
-                (C2 * (Tu0 * Tw0 + Tu1 * Tw1) - Tu2 * Tw2) * cinv, 0.0,
-            )
-            cy = jnp.where(
-                cok,
-                (C2 * (Tv0 * Tw0 + Tv1 * Tw1) - Tv2 * Tw2) * cinv, 0.0,
-            )
+        opa = row(9)
+        # Slim 16-row table: recompute the low-pass center from the
+        # T rows (preprocess dual-conic math, forward.cu:119-147) on
+        # (1, CHUNK) vectors — ~12 row ops versus a whole extra
+        # sublane tile in the entry gather.
+        C2 = 9.0  # CUTOFF²
+        dist = C2 * (Tw0 * Tw0 + Tw1 * Tw1) - Tw2 * Tw2
+        cok = jnp.abs(dist) > 1e-12
+        cinv = 1.0 / jnp.where(cok, dist, 1.0)
+        cx = jnp.where(
+            cok,
+            (C2 * (Tu0 * Tw0 + Tu1 * Tw1) - Tu2 * Tw2) * cinv, 0.0,
+        )
+        cy = jnp.where(
+            cok,
+            (C2 * (Tv0 * Tw0 + Tv1 * Tw1) - Tv2 * Tw2) * cinv, 0.0,
+        )
         # In-range test depends only on the lane (entry), not the pixel:
         # evaluate it on a (1, CHUNK) row and fold it into the opacity so
         # the big (NPIX, CHUNK) mask passes below stay untouched.
@@ -360,18 +353,11 @@ def _render_one_tile(
         # totals (+2 lane reductions) was +8 ms/frame; riding the other
         # totals as extra scan rows was +7 ms (HIGHEST cost scales with
         # row-tiles); bf16 casts of the big operands were +4 ms.
-        if want_aux:
-            acc_ref[:, :] += jax.lax.dot_general(
-                w, g[12 : 12 + VAL_F],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )
-        else:
-            acc_ref[:, 0:6] += jax.lax.dot_general(
-                w, g[10:16],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=HI,
-            )
+        acc_ref[:, 0:6] += jax.lax.dot_general(
+            w, g[10:16],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
         if want_aux and want_dist:
             # Per-entry distortion rows (2DGS appendix;
             # forward.cu:392-400).
@@ -590,6 +576,85 @@ def _disassemble(img: jnp.ndarray, gx: int, gy: int, width: int, height: int):
     return img
 
 
+# Entry→splat gradient reduction strategy. "segsum" (default) is the
+# scatter-free sort-based path; "scatter" is the legacy XLA scatter-add
+# (kept for A/B and as the rank-mode fallback). Measured at the budget
+# shape (2.43M splats / 2.43M-entry buffer, scripts/profile_reduce.py):
+# scatter-add 296 ms (~123 ns/row, an XLA serial loop) vs the segsum
+# pieces pair-sort 6.1 + row-gather 43.5 + log-passes 10 + head checks
+# ~60 ⇒ ~2.5× faster, and searchsorted/unique-scatter alternatives all
+# measured ≥300 ms (TPU random gathers are ~18 ns/row, scatters ~123).
+SCATTER_MODE = "segsum"
+
+
+def _entry_to_splat(dcomb: jnp.ndarray, binning: Binning, ok: jnp.ndarray,
+                    P: int, cap: int) -> jnp.ndarray:
+    """(COMB_F, E) masked per-entry gradients → (P, 18) per-splat sums —
+    the batched equivalent of CUDA's per-entry atomicAdd
+    (backward.cu:144-739's dL accumulation).
+
+    segsum path: ONE (pid, iota) pair sort groups each splat's entries
+    contiguously ((gauss_id, slot_id) is unique per entry, ≤cap per splat);
+    log₂(cap) shifted compare-add passes leave each run's TOTAL on its head
+    row (all sequential-bandwidth); and the head positions come from an
+    exclusive cumsum of the binning's per-splat candidate counts — valid
+    exactly when n_dropped == 0 (the trainer auto-sizes the entry buffer
+    and bumps on any drop). A per-splat `gid2[head] == g` check zeroes the
+    affected splats' gradients on the overflow step instead of
+    mis-attributing them (conservative, loud — never silent corruption).
+    """
+    E = dcomb.shape[1]
+    gid = binning.gauss_id
+    if (SCATTER_MODE != "segsum" or binning.slot_id is None
+            or binning.counts_valid is None):
+        safe_gid = jnp.where(ok, gid, 0)
+        d_all = dcomb[:18].T                             # (E, 18)
+        return jnp.zeros((P, 18), jnp.float32).at[safe_gid].add(
+            d_all, mode="drop")
+
+    slot_bits = max(1, (cap - 1).bit_length())
+    BIG = jnp.int32(jnp.iinfo(jnp.int32).max)
+    pid = (gid << slot_bits) | binning.slot_id
+    pidm = jnp.where(ok, pid, BIG)
+    pid2, pos2 = jax.lax.sort(
+        (pidm, jnp.arange(E, dtype=jnp.int32)), num_keys=1)
+    d = dcomb[:18].T[pos2]                               # (E, 18) row gather
+    gid2 = pid2 >> slot_bits                             # BIG → huge id
+    s = 1
+    while s < cap:
+        take = gid2 == jnp.concatenate(
+            [gid2[s:], jnp.full((s,), -1, jnp.int32)])
+        d = d + jnp.where(
+            take[:, None],
+            jnp.concatenate([d[s:], jnp.zeros((s, 18), jnp.float32)]),
+            0.0)
+        s *= 2
+    counts = binning.counts_valid
+    headpos = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(counts, dtype=jnp.int32)[:-1]])
+    hp = jnp.minimum(headpos, E - 1)
+    has = (counts > 0) & (gid2[hp] == jnp.arange(P, dtype=jnp.int32))
+
+    # Placement is exact iff EVERY candidate made it into the buffer AND
+    # into the backward's per-tile gradient support (set equality ⇔ count
+    # equality, since present ⊆ candidates). On the rare misaligned step
+    # (buffer overflow before the auto-bump lands, or a >8192-entry tile
+    # hitting MAX_CHUNKS_PER_TILE) fall back to the exact scatter-add.
+    aligned = jnp.sum(ok, dtype=jnp.int32) == jnp.sum(counts,
+                                                      dtype=jnp.int32)
+
+    def from_heads(_):
+        return jnp.where(has[:, None], d[hp], 0.0)
+
+    def from_scatter(_):
+        safe_gid = jnp.where(ok, gid, 0)
+        return jnp.zeros((P, 18), jnp.float32).at[safe_gid].add(
+            dcomb[:18].T, mode="drop")
+
+    return jax.lax.cond(aligned, from_heads, from_scatter, None)
+
+
 def _render_pallas_bwd(static, res, cts):
     """Backward via the dedicated back-to-front Pallas kernel
     (rasterize_pallas_bwd.py); per-entry gradients are scatter-added to
@@ -613,7 +678,7 @@ def _render_pallas_bwd(static, res, cts):
     # cotangents are not propagated (stop-gradient semantics, like
     # n_contrib).
     (g_color, g_alpha, g_normal, g_depth_acc, g_med, g_dist, g_finT,
-     _g_ncontrib, _g_m1, _g_m2) = cts
+     _g_ncontrib, _g_m1, _g_m2, _g_ndrop) = cts
 
     def f32(x):
         return jnp.asarray(x, jnp.float32)
@@ -654,15 +719,12 @@ def _render_pallas_bwd(static, res, cts):
     ok = entry_valid & in_support
     dcomb = jnp.where(ok[None, :], dcomb[:, :E], 0.0)
 
-    # Per-entry → per-splat: ONE combined scatter-add (the batched atomicAdd;
-    # separate 2D-indexed scatters are ~10× slower on TPU).
     P = prep.depth.shape[0]
-    safe_gid = jnp.where(ok, gid, 0)
-    d_opa_entry = jnp.where(prep.valid[safe_gid] & ok, dcomb[11, :], 0.0)
-    d_all = jnp.concatenate(
-        [dcomb[:11, :], d_opa_entry[None], dcomb[12:18, :]], axis=0
-    ).T                                            # (E, 18)
-    acc = jnp.zeros((P, 18), jnp.float32).at[safe_gid].add(d_all, mode="drop")
+    acc = _entry_to_splat(dcomb, binning, ok, P, _cap)
+    # The packed opacity was where(prep.valid, opacity, 0); gate the SUMMED
+    # opacity gradient per splat (identical to gating per entry, P ops
+    # instead of an (E,)-gather of prep.valid).
+    acc = acc.at[:, 11].multiply(prep.valid.astype(jnp.float32))
 
     import numpy as np
 
@@ -742,8 +804,7 @@ def _render_pallas_impl(
                          compact_width=compact_width)
     n_tiles = gx * gy
     entry_valid = binning.tile_id < n_tiles
-    comb = _pack_entries(prep, binning.gauss_id, entry_valid,
-                         slim=not want_aux)
+    comb = _pack_entries(prep, binning.gauss_id, entry_valid)
     pad = (-comb.shape[1]) % CHUNK
     if pad:
         comb = jnp.pad(comb, ((0, 0), (0, pad)))
@@ -794,7 +855,7 @@ def _render_pallas_impl(
         m1_tot = zero
         m2_tot = zero
     outputs = (color, alpha, normal, depth_acc, med, dist, final_T, n_contrib,
-               m1_tot, m2_tot)
+               m1_tot, m2_tot, binning.n_dropped)
     if return_residuals:
         return outputs, (binning, comb, entry_valid, out_aux[..., 4:8])
     return outputs

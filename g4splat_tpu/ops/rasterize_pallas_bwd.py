@@ -40,10 +40,13 @@ Median depth: T is monotone, so entries with incoming T > 0.5 form a prefix;
 the median contributor is that prefix's last entry — the first medmask hit of
 the reverse sweep (an "assigned" flag keeps it unique across chunks).
 
-Entry layout (COMB_F=24 rows): 0-8 Tu/Tv/Tw, 9-10 center, 11 opacity,
-12-14 rgb, 15-17 normal, 18-23 pad — shared with the forward kernel
-(rasterize_pallas._pack_entries). Saved forward tail (per tile, per pixel,
-4ch): final_T, n_contrib, M1_total, M2_total — out_aux[..., 4:8].
+Entry table (SLIM_F=16 rows, shared with the forward kernel,
+rasterize_pallas._pack_entries): 0-8 Tu/Tv/Tw, 9 opacity, 10-12 rgb,
+13-15 normal; the low-pass center is recomputed from the T rows in-kernel.
+Output gradient layout (COMB_F=24 rows): 0-8 dT, 9-10 d_center,
+11 d_opacity, 12-14 d_rgb, 15-17 d_normal, 18-23 pad. Saved forward tail
+(per tile, per pixel, 4ch): final_T, n_contrib, M1_total, M2_total —
+out_aux[..., 4:8].
 """
 
 from __future__ import annotations
@@ -64,7 +67,7 @@ from g4splat_tpu.ops.rasterize_common import (
     TILE,
 )
 from g4splat_tpu.ops import rasterize_pallas as _fwd
-from g4splat_tpu.ops.rasterize_pallas import CHUNK, COMB_F, NPIX
+from g4splat_tpu.ops.rasterize_pallas import CHUNK, COMB_F, NPIX, SLIM_F
 
 
 def _suffix_incl(x):
@@ -80,19 +83,41 @@ def _rows(g):
     def row(i):
         return g[i, :][None, :]
 
-    return [row(i) for i in range(12)]
+    return [row(i) for i in range(10)]
 
 
-def _chunk_geom_fwd(g, px, py, near):
+def _center_from_T(g):
+    """Low-pass center from the T rows (preprocess dual-conic math; same
+    recompute as the forward kernel). Returns ((1, CHUNK) cx, cy)."""
+    Tu0, Tu1, Tu2, Tv0, Tv1, Tv2, Tw0, Tw1, Tw2, _ = _rows(g)
+    C2c = 9.0  # CUTOFF²
+    cdist = C2c * (Tw0 * Tw0 + Tw1 * Tw1) - Tw2 * Tw2
+    cok = jnp.abs(cdist) > 1e-12
+    cinv = 1.0 / jnp.where(cok, cdist, 1.0)
+    cx = jnp.where(cok, (C2c * (Tu0 * Tw0 + Tu1 * Tw1) - Tu2 * Tw2) * cinv,
+                   0.0)
+    cy = jnp.where(cok, (C2c * (Tv0 * Tw0 + Tv1 * Tw1) - Tv2 * Tw2) * cinv,
+                   0.0)
+    return cx, cy
+
+
+def _chunk_geom_fwd(g, px, py, near, center=None):
     """Per-chunk intersection math (mirrors the forward kernel).
 
-    g: (COMB_F, CHUNK); px, py: (NPIX, 1) → alpha, z, live, saved
+    g: (SLIM_F, CHUNK); px, py: (NPIX, 1) → alpha, z, live, saved
     where `saved` holds the intermediates the hand-derived backward
     (`_chunk_geom_bwd`) reuses — running jax.vjp over this math instead
     retraces the whole forward and emits a ~2× heavier AD chain on the VPU,
     which was the single biggest cost of the backward kernel.
+
+    The low-pass center is recomputed from T by default (the slim entry
+    table carries no center rows); its T-gradient flows through the
+    d_center output rows via the outer preprocess AD chain, so
+    `_chunk_geom_bwd` treats it as an independent input. Tests inject an
+    explicit `center=(cx, cy)` to check exactly that decomposition.
     """
-    Tu0, Tu1, Tu2, Tv0, Tv1, Tv2, Tw0, Tw1, Tw2, cx, cy, opa = _rows(g)
+    Tu0, Tu1, Tu2, Tv0, Tv1, Tv2, Tw0, Tw1, Tw2, opa = _rows(g)
+    cx, cy = _center_from_T(g) if center is None else center
     # Bilinear-in-(x, y) form of the ray-splat planes (see forward kernel):
     # per-entry coefficient vectors, two FMAs per pixel-entry pair.
     A0 = Tw2 * Tv1 - Tw1 * Tv2
@@ -148,7 +173,7 @@ def _chunk_geom_bwd(g, saved, pxh, dA, dZ):
     """
     (su, sv, inv_safe, pz_ok, use3d, cu_ok, cv_ok, eterm, a_raw,
      dx, dy) = saved
-    Tu0, Tu1, Tu2, Tv0, Tv1, Tv2, Tw0, Tw1, Tw2, _, _, _ = _rows(g)
+    Tu0, Tu1, Tu2, Tv0, Tv1, Tv2, Tw0, Tw1, Tw2, _ = _rows(g)
 
     # z chain: z = use3d ? su·Tw0 + sv·Tw1 + Tw2 : Tw2
     dZ3 = jnp.where(use3d, dZ, 0.0)
@@ -367,7 +392,7 @@ def _bwd_one_tile(
         # (NPIX, 6)@(6, CHUNK) bf16 matmul — the two are summed anyway.
         cgn = jnp.dot(
             jnp.concatenate([gC, gN], axis=1).astype(jnp.bfloat16),
-            g[12:18, :].astype(jnp.bfloat16),
+            g[10:16, :].astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
 
@@ -619,7 +644,7 @@ def rasterize_backward_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, COMB_F, CHUNK), jnp.float32),   # read double buffer
+            pltpu.VMEM((2, SLIM_F, CHUNK), jnp.float32),   # read double buffer
             pltpu.VMEM((WSLOTS, COMB_F, CHUNK), jnp.float32),  # write slots
             pltpu.VMEM((COMB_F, CHUNK), jnp.float32),      # RMW old window
             pltpu.VMEM((NPIX, 8), jnp.float32),            # suffix carries
@@ -628,14 +653,15 @@ def rasterize_backward_pallas(
             pltpu.SemaphoreType.DMA,         # RMW prefetch
         ],
     )
-    dinit = jnp.zeros(comb.shape, jnp.float32)
+    dinit = jnp.zeros((COMB_F, comb.shape[1]), jnp.float32)
     from g4splat_tpu.ops.rasterize_pallas import _interpret
 
     dcomb = pl.pallas_call(
         functools.partial(_bwd_kernel, near=near, far=far, group=group,
                           want_dist=want_dist),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(comb.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((COMB_F, comb.shape[1]),
+                                       jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         input_output_aliases={7: 0},   # dinit (operand index incl. 3 prefetch args)
         interpret=_interpret(),

@@ -44,13 +44,18 @@ class Binning(NamedTuple):
     tile_start: jnp.ndarray   # (n_tiles,) int32
     tile_count: jnp.ndarray   # (n_tiles,) int32
     n_dropped: jnp.ndarray    # () int32 — entries lost to caps
-    # Exploration payload (consumed only by scripts/sweep_scatter.py's
-    # scatter-vs-unique-write A/B; no production code reads it).
-    # (gauss_id, slot_id) is UNIQUE per valid entry. Under compaction,
+    # (gauss_id, slot_id) is UNIQUE per valid entry — the backward's
+    # sort-based entry→splat reduction groups on it. Under compaction,
     # slot_id is the entry's column in the ROW-SORTED candidate grid, not
     # its original rect slot. None in rank mode (key-only sort carries no
-    # payload).
+    # payload; the backward falls back to scatter-add there).
     slot_id: Optional[jnp.ndarray] = None
+    # (P,) post-prune candidate count per splat (None in rank mode).
+    # With n_dropped == 0 every candidate is present in the buffer, so
+    # exclusive-cumsum(counts_valid) gives each splat's contiguous run
+    # start in (gauss_id, slot_id)-sorted entry order — the scatter-free
+    # gradient reduction's placement rule (rasterize_pallas_bwd).
+    counts_valid: Optional[jnp.ndarray] = None
 
 
 def _ellipse_keep(prep: Preprocessed, tx: jnp.ndarray, ty: jnp.ndarray):
@@ -319,8 +324,8 @@ def bin_splats(
     assert (P - 1).bit_length() + slot_bits <= 31, (
         f"P={P} with cap={cap} overflows the int32 sort payload"
     )
+    counts_valid = jnp.sum(slot_valid, axis=1, dtype=jnp.int32)
     if compact_width and cap > compact_width:
-        counts_valid = jnp.sum(slot_valid, axis=1, dtype=jnp.int32)
         k_rows = (compact_overflow_rows if compact_overflow_rows is not None
                   else _overflow_rows_default(P))
         keys, pids, extra_dropped = _compact_candidates(
@@ -363,6 +368,7 @@ def bin_splats(
         tile_count=tile_end - tile_start,
         n_dropped=dropped.astype(jnp.int32),
         slot_id=slot_sorted,
+        counts_valid=counts_valid,
     )
 
 
@@ -601,7 +607,7 @@ def render_tiled_wh(
                          compact_width=compact_width)
     return _render_tiles(
         prep, binning, bg, width, height, near, far, tile_k, tile_batch,
-    )
+    ) + (binning.n_dropped,)
 
 
 def render_tiled(

@@ -157,6 +157,175 @@ def compose_slabs(maps: jnp.ndarray, bg: jnp.ndarray):
     }
 
 
+def view_depth_permutations(scene: GaussianScene, cameras) -> jnp.ndarray:
+    """(V, P) per-view depth permutations for slab-sharded training.
+
+    perm[v] sorts splat ids front-to-back in view v's camera frame (dead
+    buffer slots last), so equal slices of perm[v] are depth-disjoint
+    slabs along every ray of view v — the exactness precondition of
+    compose_slabs. Recomputed at densify/growth boundaries (splats move
+    slowly between them; the ORDER is what matters, and the global binning
+    sort inside each slab re-sorts exactly anyway, so a stale partition
+    only loses exactness at slab boundaries — refreshed before that
+    matters in practice and verified by the parity test)."""
+    xyz = scene.xyz
+    alive = scene.alive
+
+    def one(w2c):
+        z = xyz @ w2c[2, :3] + w2c[2, 3]
+        key = jnp.where(alive, z, jnp.inf)
+        return jnp.argsort(key).astype(jnp.int32)
+
+    return jax.vmap(one)(cameras.w2c)
+
+
+def outputs_from_slab_maps(camera, maps: jnp.ndarray, depth_ratio: float):
+    """compose_slabs + the render() post-processing tail
+    (ops/rasterize.py:122-156) — produces the output dict
+    losses_from_render consumes. Fully differentiable."""
+    from g4splat_tpu.core.geometry import depth_to_normal
+
+    out = compose_slabs(maps, jnp.zeros(3))
+    R_c2w = camera.c2w[:3, :3]
+    # compose_slabs emits WORLD normals (slab renders return rend_normal in
+    # world space); the camera-space variant is derived, as in render().
+    normal_world = out["rend_normal"]
+    depth_expected = out["rend_depth"]
+    depth_median = jnp.nan_to_num(out["depth_median"])
+    surf_depth = (depth_expected * (1.0 - depth_ratio)
+                  + depth_ratio * depth_median)
+    surf_normal_world = depth_to_normal(camera, surf_depth)
+    surf_normal_world = surf_normal_world * jax.lax.stop_gradient(
+        out["rend_alpha"])[..., None]
+    return {
+        "render": out["render"],
+        "rend_alpha": out["rend_alpha"],
+        "rend_normal": normal_world,
+        "rend_normal_cam": normal_world @ R_c2w,
+        "rend_dist": out["rend_dist"],
+        "rend_depth": jnp.nan_to_num(depth_expected),
+        "depth_median": depth_median,
+        "surf_depth": surf_depth,
+        "surf_normal": surf_normal_world,
+        "surf_normal_cam": surf_normal_world @ R_c2w,
+        "final_T": out["final_T"],
+    }
+
+
+def make_slab_sharded_train_step(mesh: Mesh, cfg, optimizer):
+    """EXACT splat-sharded 2DGS training step over the mesh's `model` axis.
+
+    The multi-chip training answer that *preserves* single-device quality:
+    the measured data-parallel A/B (logs/ab_dp_r05.json) shows large-batch
+    few-step DP losing ~11 dB, so instead each step keeps the reference's
+    one-view-per-iteration semantics (train_with_refine_depth.py:362-632)
+    and shards the SPLAT BUFFER: device d renders depth-slab d of the
+    current view (per-view permutation from view_depth_permutations), one
+    (n, H, W, 13) all_gather combines the slabs exactly (compose_slabs),
+    and the loss/optimizer runs replicated. Gradients flow back through
+    the all_gather (psum_scatter transpose) and the slab gather (local
+    scatter + cross-device psum of the replicated-param cotangent), so
+    per-splat gradients, densify statistics, and Adam state match the
+    single-device step on ≥98% of parameters bit-tight; the only inexact
+    channel is median depth (resolved against the crossing slab's LOCAL
+    transmittance — module docstring), which can route the surf_depth
+    gradient to a neighboring entry on crossing pixels. Contract verified
+    by tests/test_parallel.py::TestSlabShardedTraining.
+
+    Everything splat-linear (preprocess, binning sort, entry pack, both
+    rasterizer kernels, the entry→splat scatter) scales 1/n; the
+    replicated remainder is the image-space loss math + optimizer.
+    """
+    from g4splat_tpu.ops.rasterize import render
+    from g4splat_tpu.ops.rasterize_common import RenderConfig
+    from g4splat_tpu.train.densify import DensifyState, accumulate_stats
+    from g4splat_tpu.train.trainer import (
+        losses_from_render,
+        scene_params,
+        with_params,
+    )
+    import optax
+
+    n = mesh.shape["model"]
+
+    def step(scene, opt_state, dstate, camera, view, iteration, key, perm,
+             inv_perm):
+        params = scene_params(scene)
+        N = scene.capacity
+        rcfg = RenderConfig(
+            bg=jnp.zeros(3), depth_ratio=cfg.depth_ratio,
+            compute_distortion=cfg.lambda_dist != 0.0,
+            buf_factor=cfg.raster_buf_factor,
+            buf_size=(cfg.raster_buf_size + n - 1) // n if cfg.raster_buf_size
+            else 0,
+            max_tiles_per_splat=cfg.raster_max_tiles_per_splat,
+            binning_compact_width=cfg.raster_compact_width,
+        )
+        def loss_fn(params, offset):
+            s = with_params(scene, params)
+
+            @partial(
+                jax.shard_map, mesh=mesh,
+                in_specs=(P(), P(), P("model")),
+                out_specs=(P(), P("model"), P()),
+                check_vma=False,
+            )
+            def render_slabs(s_rep, offset_rep, perm_shard):
+                idx = perm_shard                      # (N/n,) this slab
+                slab = jax.tree.map(
+                    lambda x: x[idx]
+                    if (getattr(x, "ndim", 0) >= 1 and x.shape[0] == N)
+                    else x,
+                    s_rep,
+                )
+                out = render(camera, slab, config=rcfg,
+                             center_offset=offset_rep[idx],
+                             backend=cfg.backend)
+                maps = slab_maps_from_render(out)[None]      # (1, H, W, 13)
+                gathered = jax.lax.all_gather(maps, "model", axis=0,
+                                              tiled=True)   # (n, H, W, 13)
+                radii = jax.lax.stop_gradient(out["radii"])[None]
+                ndrop = jax.lax.psum(out["n_dropped"], "model")
+                return gathered, radii, ndrop
+
+            maps, radii_sorted, ndrop = render_slabs(s, offset, perm)
+            out = outputs_from_slab_maps(camera, maps, cfg.depth_ratio)
+            radii = radii_sorted.reshape(N)[inv_perm]        # back to id order
+            out["radii"] = radii
+            out["visibility_filter"] = radii > 0
+            out["n_dropped"] = ndrop
+            return losses_from_render(s, out, view, cfg, iteration, key)
+
+        offset = jnp.zeros((N, 2))
+        (loss, aux), (gparams, goffset) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, offset)
+
+        updates, opt_state = optimizer.update(gparams, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        scene = with_params(scene, params)
+
+        densify_window = (iteration >= cfg.densify_from_iter) & (
+            iteration < cfg.densify_until_iter
+        )
+        dstate = jax.lax.cond(
+            densify_window,
+            lambda d: accumulate_stats(d, goffset, aux["radii"],
+                                       aux["visibility"]),
+            lambda d: d,
+            dstate,
+        )
+        metrics = {
+            "loss": loss,
+            "l1": aux["l1"],
+            "psnr": aux["psnr"],
+            "n_alive": scene.num_alive,
+            "n_dropped": aux["n_dropped"],
+        }
+        return scene, opt_state, dstate, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
 def render_gaussian_sharded(
     mesh: Mesh,
     slab_scenes: Sequence[GaussianScene],

@@ -81,20 +81,42 @@ class CrossAttention(nn.Module):
 
 class BasicTransformerBlock3D(nn.Module):
     """Self-attn over all frames jointly, then per-frame cross-attn + GEGLU
-    feed-forward (mv_unet.py:229-272)."""
+    feed-forward (mv_unet.py:229-272).
+
+    ``axis_name`` shards the frame batch over a mesh axis (See3D denoise
+    fan-out): every per-frame op stays local, and the joint attention
+    all_gathers the NORMALIZED tokens once so each local query frame
+    attends to its own branch's full F*l key/value sequence — numerically
+    identical to the single-device reshape (LayerNorm is per-token, so
+    normalize-then-gather == gather-then-normalize).
+    """
 
     heads: int
     dim_head: int
 
     @nn.compact
-    def __call__(self, x, context, num_frames: int):
+    def __call__(self, x, context, num_frames: int, axis_name=None):
         bf, l, c = x.shape
-        b = bf // num_frames
-        h = x.reshape(b, num_frames * l, c)
-        h = CrossAttention(self.heads, self.dim_head, name="attn1")(
-            nn.LayerNorm(name="norm1")(h)
-        )
-        x = x + h.reshape(bf, l, c)
+        if axis_name is None:
+            b = bf // num_frames
+            h = x.reshape(b, num_frames * l, c)
+            h = CrossAttention(self.heads, self.dim_head, name="attn1")(
+                nn.LayerNorm(name="norm1")(h)
+            )
+            x = x + h.reshape(bf, l, c)
+        else:
+            x_n = nn.LayerNorm(name="norm1")(x)
+            full = jax.lax.all_gather(x_n, axis_name, axis=0, tiled=True)
+            total = full.shape[0]
+            b = total // num_frames
+            d = jax.lax.axis_index(axis_name)
+            g = d * bf + jnp.arange(bf)
+            branch = g // num_frames                       # (bf,) local
+            kv = full.reshape(b, num_frames * l, c)[branch]
+            h = CrossAttention(self.heads, self.dim_head, name="attn1")(
+                x_n, kv
+            )
+            x = x + h
         x = x + CrossAttention(self.heads, self.dim_head, name="attn2")(
             nn.LayerNorm(name="norm2")(x), context
         )
@@ -115,14 +137,14 @@ class SpatialTransformer3D(nn.Module):
     depth: int = 1
 
     @nn.compact
-    def __call__(self, x, context, num_frames: int):
+    def __call__(self, x, context, num_frames: int, axis_name=None):
         B, H, W, C = x.shape
         h = _gn(32, "norm", eps=1e-6)(x).reshape(B, H * W, C)
         h = nn.Dense(self.heads * self.dim_head, name="proj_in")(h)
         for d in range(self.depth):
             h = BasicTransformerBlock3D(
                 self.heads, self.dim_head, name=f"transformer_blocks_{d}"
-            )(h, context, num_frames)
+            )(h, context, num_frames, axis_name=axis_name)
         h = nn.Dense(C, kernel_init=nn.initializers.zeros, name="proj_out")(h)
         return x + h.reshape(B, H, W, C)
 
@@ -223,7 +245,8 @@ class MultiViewUNet(nn.Module):
     cfg: UNetConfig = UNetConfig()
 
     @nn.compact
-    def __call__(self, x, t, context, num_frames: int, camera=None):
+    def __call__(self, x, t, context, num_frames: int, camera=None,
+                 axis_name=None):
         cfg = self.cfg
         temb = timestep_embedding(t, cfg.model_channels)
         emb = nn.Dense(4 * cfg.model_channels, name="time_embed_0")(temb)
@@ -250,7 +273,7 @@ class MultiViewUNet(nn.Module):
                     h = SpatialTransformer3D(
                         heads, dim_head, cfg.transformer_depth,
                         name=f"input_blocks_{idx}_1",
-                    )(h, context, num_frames)
+                    )(h, context, num_frames, axis_name=axis_name)
                 hs.append(h)
                 idx += 1
             if level != len(cfg.channel_mult) - 1:
@@ -263,8 +286,8 @@ class MultiViewUNet(nn.Module):
         heads, dim_head = cfg.heads_for(ch)
         h = ResBlock(ch, ssn, name="middle_block_0")(h, emb)
         h = SpatialTransformer3D(heads, dim_head, cfg.transformer_depth,
-                                 name="middle_block_1")(h, context,
-                                                        num_frames)
+                                 name="middle_block_1")(
+            h, context, num_frames, axis_name=axis_name)
         h = ResBlock(ch, ssn, name="middle_block_2")(h, emb)
 
         idx = 0
@@ -279,7 +302,7 @@ class MultiViewUNet(nn.Module):
                     h = SpatialTransformer3D(
                         heads, dim_head, cfg.transformer_depth,
                         name=f"output_blocks_{idx}_{j}",
-                    )(h, context, num_frames)
+                    )(h, context, num_frames, axis_name=axis_name)
                     j += 1
                 if level and i == cfg.num_res_blocks:
                     h = Upsample(ch, name=f"output_blocks_{idx}_{j}")(h)
@@ -486,10 +509,11 @@ class See3DPipeline:
     """
 
     def __init__(self, unet: MultiViewUNet, unet_params,
-                 ddim: DDIMConfig = DDIMConfig()):
+                 ddim: DDIMConfig = DDIMConfig(), mesh=None):
         self.unet = unet
         self.params = unet_params
         self.sampler = DDIMSampler(ddim)
+        self.mesh = mesh          # data-axis mesh → sharded denoise
         self._scan = None
         self._scan_key = None
 
@@ -497,6 +521,32 @@ class See3DPipeline:
         sampler, cfg = self.sampler, self.sampler.cfg
         ts = jnp.asarray(sampler.timesteps)
         unet_apply = self.unet.apply
+
+        # Sharded denoise (VERDICT r4 #7): the 2F-frame cond/uncond batch
+        # fans out over the mesh's `data` axis — convs/resblocks are
+        # frame-local, the joint 3D attention all_gathers normalized tokens
+        # per layer (BasicTransformerBlock3D axis_name path), and the DDIM
+        # state stays replicated (elementwise math). n=2 is the pure-CFG
+        # split (cond|uncond need no cross-frame comm beyond the gather);
+        # larger n splits frame groups too.
+        n_data = (self.mesh.shape.get("data", 1)
+                  if self.mesh is not None else 1)
+        if n_data > 1 and (2 * F) % n_data == 0:
+            from functools import partial as _partial
+
+            from jax.sharding import PartitionSpec as PS
+
+            @_partial(
+                jax.shard_map, mesh=self.mesh,
+                in_specs=(PS(), PS("data"), PS("data"), PS("data")),
+                out_specs=PS("data"), check_vma=False,
+            )
+            def unet_go(params, inp, tv, ctx):
+                return unet_apply(params, inp, tv, ctx, num_frames=F,
+                                  axis_name="data")
+        else:
+            def unet_go(params, inp, tv, ctx):
+                return unet_apply(params, inp, tv, ctx, num_frames=F)
 
         def run(params, key, img_latents, masks, context, gt_sel):
             ctx2 = jnp.concatenate([context, context], axis=0)
@@ -518,7 +568,7 @@ class See3DPipeline:
                     [x, gt_sel * img_latents, gt_sel * masks], axis=-1)
                 inp = jnp.concatenate([cond, unc], axis=0)
                 t_vec = jnp.full((2 * F,), t, jnp.int32)
-                out = unet_apply(params, inp, t_vec, ctx2, num_frames=F)
+                out = unet_go(params, inp, t_vec, ctx2)
                 s = cfg.guidance_scale
                 model_out = (1 + s) * out[:F] - s * out[F:]
                 if cfg.guidance_rescale > 0.0:

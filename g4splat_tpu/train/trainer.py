@@ -90,6 +90,22 @@ class TrainConfig:
     # Depth-rank binning for the training render (see
     # RenderConfig.depth_rank_binning): presort once, key-only binning sort.
     depth_rank_binning: bool = struct.field(pytree_node=False, default=False)
+    # Rasterizer capacity knobs (RenderConfig passthrough). The pack gather,
+    # the backward kernel's per-entry buffer, and the entry→splat reduction
+    # all scale with buf_factor × capacity; at high splat-count/low-res
+    # shapes (budget runs: 2.4M splats @ 512×384, ~0.6 real entries/splat)
+    # buf_factor=2 halves that traffic twice over with huge headroom. The
+    # step metrics report `n_dropped` so overflow is loud, never silent.
+    raster_buf_factor: int = struct.field(pytree_node=False, default=4)
+    # Absolute entry-buffer override (0 = factor). The Trainer auto-tunes
+    # this at init from a measured per-view real-entry count unless
+    # raster_buf_auto=False; overflow is surfaced via the n_dropped metric
+    # and auto-bumps the buffer at the next synced step.
+    raster_buf_size: int = struct.field(pytree_node=False, default=0)
+    raster_buf_auto: bool = struct.field(pytree_node=False, default=True)
+    raster_max_tiles_per_splat: int = struct.field(pytree_node=False,
+                                                   default=16)
+    raster_compact_width: int = struct.field(pytree_node=False, default=8)
     sh_increase_interval: int = struct.field(pytree_node=False, default=1000)
     # Capacity-growth ceiling when densification overflows the static buffer
     # (reference hard cap: train_with_refine_depth.py:147, 10M splats).
@@ -174,10 +190,28 @@ def compute_losses(
         # dist_loss is exactly 0 either way.
         config=RenderConfig(bg=jnp.zeros(3), depth_ratio=cfg.depth_ratio,
                             depth_rank_binning=cfg.depth_rank_binning,
-                            compute_distortion=cfg.lambda_dist != 0.0),
+                            compute_distortion=cfg.lambda_dist != 0.0,
+                            buf_factor=cfg.raster_buf_factor,
+                            buf_size=cfg.raster_buf_size,
+                            max_tiles_per_splat=cfg.raster_max_tiles_per_splat,
+                            binning_compact_width=cfg.raster_compact_width),
         center_offset=center_offset,
         backend=cfg.backend,
     )
+    return losses_from_render(scene, out, view, cfg, iteration, key)
+
+
+def losses_from_render(
+    scene: GaussianScene,
+    out: Dict[str, jnp.ndarray],
+    view: Dict[str, jnp.ndarray],
+    cfg: TrainConfig,
+    iteration: jnp.ndarray,
+    key: jax.Array,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """Loss assembly given a render() output dict — shared by the fused
+    single-device step and the splat-sharded step (which produces `out`
+    by composing per-slab maps, parallel/gaussian_shard.py)."""
     img = out["render"]
     gt = view["image"]
 
@@ -199,6 +233,7 @@ def compute_losses(
         "dist": dist_loss,
         "radii": out["radii"],
         "visibility": out["visibility_filter"],
+        "n_dropped": out["n_dropped"],
     }
 
     if cfg.use_chart_priors:
@@ -279,6 +314,7 @@ def train_step(
         "l1": aux["l1"],
         "psnr": aux["psnr"],
         "n_alive": scene.num_alive,
+        "n_dropped": aux["n_dropped"],
     }
     return scene, opt_state, dstate, metrics
 
@@ -416,6 +452,10 @@ class Trainer:
         seed: int = 0,
         mesh=None,                  # jax.sharding.Mesh → data-parallel steps
     ):
+        if (cfg.raster_buf_auto and cfg.raster_buf_size == 0
+                and cfg.backend in ("pallas", "tiled")):
+            cfg = cfg.replace(
+                raster_buf_size=self._autotune_buf(scene, cameras, cfg))
         self.cfg = cfg
         self.scene = scene
         self.cameras = cameras
@@ -437,15 +477,35 @@ class Trainer:
         self._mip = jax.jit(lambda s, c: s.compute_mip_filter(c))
         self._zero_moments = jax.jit(zero_moments_at)
         self._reset_opacity = jax.jit(lambda s: s.reset_opacity())
-        # Data-parallel mode: replicate the scene/optimizer over the mesh and
-        # consume one view per device per step (grads pmean'd, densify stats
-        # psum'd inside make_dp_train_step). Maintenance ops (densify, mip,
-        # opacity reset) run replicated under the same mesh — same program,
-        # same RNG key, deterministic on every device.
+        # Mesh modes (inferred from the mesh's named axes):
+        #  model > 1 → SLAB-SHARDED: the splat buffer depth-slabs over
+        #    `model`, one view per step — single-device quality preserved
+        #    (parallel/gaussian_shard.py::make_slab_sharded_train_step; the
+        #    DP alternative measured −11 dB, logs/ab_dp_r05.json).
+        #  data > 1 → DATA-PARALLEL: replicate the scene, one view per
+        #    device per step, grads pmean'd (opt-in only — see orchestrator).
+        # Maintenance ops (densify, mip, opacity reset) run replicated
+        # either way — same program, same RNG key on every device.
         self.mesh = mesh if (mesh is not None
                              and int(np.prod(list(mesh.shape.values()))) > 1
                              ) else None
-        if self.mesh is not None:
+        self.slab_mode = (self.mesh is not None
+                          and self.mesh.shape.get("model", 1) > 1)
+        if self.slab_mode:
+            from g4splat_tpu.parallel.gaussian_shard import (
+                make_slab_sharded_train_step,
+            )
+            from g4splat_tpu.parallel.mesh import replicate
+
+            self._slab_step = make_slab_sharded_train_step(
+                self.mesh, self.cfg, self.optimizer)
+            self.scene = replicate(self.mesh, self.scene)
+            self.opt_state = replicate(self.mesh, self.opt_state)
+            self.dstate = replicate(self.mesh, self.dstate)
+            self.cameras = replicate(self.mesh, self.cameras)
+            self.views = replicate(self.mesh, self.views)
+            self._refresh_partitions()
+        elif self.mesh is not None:
             from g4splat_tpu.parallel.mesh import replicate
 
             n_data = self.mesh.shape["data"]
@@ -464,6 +524,82 @@ class Trainer:
         if cfg.use_mip_filter:
             self.scene = self.scene.replace(use_mip_filter=True)
             self.scene = self._mip(self.scene, self.cameras)
+
+    @staticmethod
+    def _autotune_buf(scene: GaussianScene, cameras: Camera,
+                      cfg: TrainConfig) -> int:
+        """Measure the real sorted-entry count per view once and size the
+        entry buffer to it (×1.3 headroom, scaled to full capacity).
+
+        The factor-4 default is calibrated for bench-scene densities
+        (~3.2 entries/splat at 200k splats); production scenes at
+        high-splat/low-res shapes run ~0.6 entries/splat, so the pack
+        gather and the backward entry→splat scatter would otherwise move
+        ~6× more HBM than needed (measured: scatter 1216 → 299 ms at the
+        r05 budget shape). Overflow stays loud: n_dropped is a step metric
+        and Trainer.step auto-bumps on any drop."""
+        from g4splat_tpu.ops.rasterize_common import TILE, preprocess
+        from g4splat_tpu.ops.rasterize_tiled import bin_splats
+
+        V = jax.tree.leaves(cameras)[0].shape[0]
+        cam0 = jax.tree.map(lambda x: x[0], cameras)
+        W, H = int(cam0.width), int(cam0.height)
+        n_tiles = ((W + TILE - 1) // TILE) * ((H + TILE - 1) // TILE)
+
+        @jax.jit
+        def count(cam, s):
+            prep = preprocess(
+                cam, xyz=s.xyz, scaling=s.scaling(),
+                rotation_raw=s.rotation_raw, opacity=s.opacity(),
+                features=s.features(), sh_degree=s.active_sh_degree,
+                config=RenderConfig())
+            b = bin_splats(prep, W, H,
+                           max_tiles_per_splat=cfg.raster_max_tiles_per_splat,
+                           compact_width=cfg.raster_compact_width)
+            return jnp.sum(b.tile_id < n_tiles)
+
+        mx = 0
+        for v in range(V):
+            cam = jax.tree.map(lambda x: x[v], cameras)
+            mx = max(mx, int(count(cam, scene)))
+        alive = max(int(scene.num_alive), 1)
+        est_full = mx * scene.capacity / alive           # at full capacity
+        buf = int(est_full * 1.3) // 128 * 128 + 128
+        cap_total = scene.capacity * cfg.raster_max_tiles_per_splat
+        return int(min(max(buf, 8192), cap_total))
+
+    def _bump_buf(self):
+        """Entry-buffer overflow (n_dropped > 0): grow 1.5× and re-jit."""
+        old = self.cfg.raster_buf_size
+        new = int(old * 3 // 2) // 128 * 128 + 128
+        print(f"[trainer] entry buffer overflow: bumping buf_size "
+              f"{old} -> {new} (recompiles the step)", flush=True)
+        self.cfg = self.cfg.replace(raster_buf_size=new)
+        if self.slab_mode:
+            from g4splat_tpu.parallel.gaussian_shard import (
+                make_slab_sharded_train_step,
+            )
+
+            self._slab_step = make_slab_sharded_train_step(
+                self.mesh, self.cfg, self.optimizer)
+        elif self.mesh is not None:
+            self._dp_step = make_dp_train_step(
+                self.mesh, self.cfg, self.optimizer)
+
+    def _refresh_partitions(self):
+        """Recompute the per-view depth permutations for slab sharding —
+        at init and after any op that moves/re-populates splats
+        (densify/prune, capacity growth)."""
+        from g4splat_tpu.parallel.gaussian_shard import (
+            view_depth_permutations,
+        )
+
+        if not hasattr(self, "_perm_fn"):
+            self._perm_fn = jax.jit(view_depth_permutations)
+            self._inv_fn = jax.jit(
+                lambda p: jnp.argsort(p, axis=1).astype(jnp.int32))
+        self._perms = self._perm_fn(self.scene, self.cameras)
+        self._invs = self._inv_fn(self._perms)
 
     def _next_view(self) -> int:
         if not self._stack:
@@ -521,6 +657,15 @@ class Trainer:
         alive_idx = np.flatnonzero(np.asarray(old.alive))
         n = len(alive_idx)
         self.scene = compact_and_grow(old, new_capacity)
+        if self.cfg.raster_buf_size > 0:
+            # Entry count scales with the splat population; keep the
+            # measured per-splat density as capacity grows.
+            grown = int(self.cfg.raster_buf_size * new_capacity
+                        / old_cap) // 128 * 128 + 128
+            self.cfg = self.cfg.replace(raster_buf_size=grown)
+            if self.mesh is not None:
+                self._dp_step = make_dp_train_step(
+                    self.mesh, self.cfg, self.optimizer)
 
         def remap(x):
             if (isinstance(x, jnp.ndarray) and x.ndim >= 1
@@ -540,6 +685,8 @@ class Trainer:
             self.scene = replicate(self.mesh, self.scene)
             self.opt_state = replicate(self.mesh, self.opt_state)
             self.dstate = replicate(self.mesh, self.dstate)
+        if self.slab_mode:
+            self._refresh_partitions()
         if self.cfg.use_mip_filter:
             self.scene = self._mip(self.scene, self.cameras)
 
@@ -552,7 +699,16 @@ class Trainer:
             self.scene = self.scene.one_up_sh_degree()
 
         self.key, sub = jax.random.split(self.key)
-        if self.mesh is not None:
+        if self.slab_mode:
+            v = self._next_view()
+            cam, view = self._view_slice(v)
+            self.scene, self.opt_state, self.dstate, metrics = (
+                self._slab_step(
+                    self.scene, self.opt_state, self.dstate, cam, view,
+                    jnp.asarray(it), sub, self._perms[v], self._invs[v],
+                )
+            )
+        elif self.mesh is not None:
             cams, view = self._dp_batch()
             self.scene, self.opt_state, self.dstate, metrics = self._dp_step(
                 self.scene, self.opt_state, self.dstate, cams, view,
@@ -578,6 +734,8 @@ class Trainer:
                     cfg.percent_dense,
                 )
                 self.opt_state = self._zero_moments(self.opt_state, changed)
+                if self.slab_mode:
+                    self._refresh_partitions()
                 # Overflow → grow the static buffer on the host (capacity
                 # doubles, bounded by cfg.max_capacity; the sync costs one
                 # round-trip per densify interval).
@@ -596,7 +754,10 @@ class Trainer:
                 self.scene = self._reset_opacity(self.scene)
 
         if sync_metrics:
-            return {k: float(v) for k, v in metrics.items()}
+            m = {k: float(v) for k, v in metrics.items()}
+            if m.get("n_dropped", 0) > 0 and self.cfg.raster_buf_size > 0:
+                self._bump_buf()
+            return m
         return metrics
 
     def train(self, num_iters: Optional[int] = None, log_every: int = 0):

@@ -32,7 +32,10 @@ def main():
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--views", type=int, default=5)
     ap.add_argument("--n", type=int, default=20)
-    ap.add_argument("--json", default="logs/profile_budget_step_r04.json")
+    ap.add_argument("--json", default="logs/profile_budget_step_r05.json")
+    ap.add_argument("--backend", default="pallas",
+                    help="trainer backend (r04 accidentally profiled the "
+                    "TrainConfig default 'tiled'; production is pallas)")
     args = ap.parse_args()
 
     import jax
@@ -130,8 +133,12 @@ def main():
         color_weight=jnp.ones(V), scale_factor=jnp.asarray(1.0),
     )
     tcfg = TrainConfig(iterations=10 ** 6, densify_until_iter=10 ** 9,
-                       opacity_reset_interval=10 ** 9, spatial_lr_scale=1.0)
+                       opacity_reset_interval=10 ** 9, spatial_lr_scale=1.0,
+                       backend=args.backend)
     tr = Trainer(scene, cameras, views, tcfg, seed=0)
+    tcfg = tr.cfg      # auto-tuned raster_buf_size (measured real entries)
+    out["raster_buf_size"] = int(tcfg.raster_buf_size)
+    print("auto-tuned buf_size:", out["raster_buf_size"], flush=True)
 
     from g4splat_tpu.train import trainer as T
 

@@ -188,7 +188,7 @@ def quick():
         comb = timeit(
             f"pack_entries slim={slim}",
             jax.jit(lambda p, b, s=slim: _pack_entries(
-                p, b.gauss_id, b.tile_id < n_tiles, slim=s)),
+                p, b.gauss_id, b.tile_id < n_tiles)),
             prep, binning)
         pad = (-comb.shape[1]) % CHUNK
         if pad:

@@ -78,7 +78,7 @@ def main():
     E = binning.gauss_id.shape[0]
     ev = jnp.arange(E) >= 0
     timeit("pack f32 slim", jax.jit(
-        lambda pp, g: _pack_entries(pp, g, ev, slim=True)),
+        lambda pp, g: _pack_entries(pp, g, ev)),
         prep, binning.gauss_id)
 
     # Split pack: f32 rows [T(9), opa] + bf16 rows [rgb, normal]

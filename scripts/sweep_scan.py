@@ -46,7 +46,7 @@ def main():
     comb = jax.jit(lambda p, b: RP._pack_entries(
         p, b.gauss_id, b.tile_id < n_tiles))(prep, binning)
     comb_slim = jax.jit(lambda p, b: RP._pack_entries(
-        p, b.gauss_id, b.tile_id < n_tiles, slim=True))(prep, binning)
+        p, b.gauss_id, b.tile_id < n_tiles))(prep, binning)
     pad = (-comb.shape[1]) % RP.CHUNK
     if pad:
         comb = jnp.pad(comb, ((0, 0), (0, pad)))

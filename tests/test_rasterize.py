@@ -351,32 +351,56 @@ class TestManualGeomVJP:
     (_chunk_geom_bwd) against jax.vjp over the same math."""
 
     def test_matches_autodiff(self):
-        from g4splat_tpu.ops.rasterize_pallas import COMB_F
+        from g4splat_tpu.ops.rasterize_pallas import SLIM_F
         from g4splat_tpu.ops.rasterize_pallas_bwd import (
+            _center_from_T,
             _chunk_geom_bwd,
             _chunk_geom_fwd,
         )
 
         npix, chunk = 64, 32
         rng = np.random.RandomState(0)
-        g = jnp.asarray(rng.randn(COMB_F, chunk) * 2.0, jnp.float32)
-        g = g.at[11].set(jnp.asarray(rng.rand(chunk), jnp.float32))
+        g = jnp.asarray(rng.randn(SLIM_F, chunk) * 2.0, jnp.float32)
+        g = g.at[9].set(jnp.asarray(rng.rand(chunk), jnp.float32))  # opacity
         px = jnp.asarray(rng.rand(npix, 1) * 16, jnp.float32)
         py = jnp.asarray(rng.rand(npix, 1) * 16, jnp.float32)
         pxh = jnp.concatenate([px, py, jnp.ones_like(px)], axis=1).T
         dA = jnp.asarray(rng.randn(npix, chunk), jnp.float32)
         dZ = jnp.asarray(rng.randn(npix, chunk), jnp.float32)
 
+        # The manual VJP treats the recomputed low-pass center as an
+        # INDEPENDENT input (its T-chain flows through the d_center output
+        # rows + the outer preprocess AD): compare against autodiff with an
+        # explicitly injected center.
+        cx, cy = _center_from_T(g)
         _, vjp_fn = jax.vjp(
-            lambda gg: _chunk_geom_fwd(gg, px, py, 0.2)[:2], g
+            lambda gg, c: _chunk_geom_fwd(gg, px, py, 0.2, center=c)[:2],
+            g, (cx, cy),
         )
-        (dg_ad,) = vjp_fn((dA, dZ))
+        dg_ad, (dcx_ad, dcy_ad) = vjp_fn((dA, dZ))
         *_, saved = _chunk_geom_fwd(g, px, py, 0.2)
         dg_man = _chunk_geom_bwd(g, saved, pxh, dA, dZ)
-        ad = np.asarray(dg_ad[:12])
         man = np.asarray(dg_man)
+        ad = np.concatenate(
+            [np.asarray(dg_ad[:9]), np.asarray(dcx_ad),
+             np.asarray(dcy_ad), np.asarray(dg_ad[9:10])], axis=0
+        )
         rel = np.abs(ad - man) / (np.abs(ad) + 1e-3)
         assert rel.max() < 1e-3
+
+        # And the COMPOSED total dT (direct + d_center·∂center/∂T) matches
+        # autodiff of the self-recomputing forward — the decomposition the
+        # production path relies on.
+        _, vjp_full = jax.vjp(
+            lambda gg: _chunk_geom_fwd(gg, px, py, 0.2)[:2], g
+        )
+        (dg_full,) = vjp_full((dA, dZ))
+        _, vjp_c = jax.vjp(lambda gg: _center_from_T(gg), g)
+        (dg_via_center,) = vjp_c((dg_man[9:10], dg_man[10:11]))
+        total = man[:9] + np.asarray(dg_via_center[:9])
+        full = np.asarray(dg_full[:9])
+        rel2 = np.abs(full - total) / (np.abs(full) + 1e-3)
+        assert rel2.max() < 1e-3
 
 
 class TestCapacityPaths:

@@ -187,3 +187,40 @@ class TestPipeline:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+class TestShardedDenoise:
+    """Mesh-sharded DDIM denoise (the cond/uncond CFG pair + frame groups
+    fan out over `data`; joint 3D attention all_gathers normalized tokens —
+    BasicTransformerBlock3D axis_name path) must match the single-device
+    pipeline numerically."""
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("n_dev", [2, 4])
+    def test_matches_unsharded(self, n_dev):
+        from g4splat_tpu.parallel.mesh import make_mesh
+        from g4splat_tpu.priors.see3d import TINY_UNET
+
+        F, h, w, steps = 4, 8, 8, 3
+        unet = MultiViewUNet(TINY_UNET)
+        x0 = jnp.zeros((F, h, w, TINY_UNET.in_channels))
+        t0 = jnp.zeros(F, jnp.int32)
+        c0 = jnp.zeros((F, 4, TINY_UNET.context_dim))
+        params = unet.init(jax.random.PRNGKey(0), x0, t0, c0, num_frames=F)
+        params = jax.tree.map(lambda p: p if p.ndim < 2 else p + 0.01, params)
+        warp = jax.random.normal(jax.random.PRNGKey(2), (F, h, w, 4))
+        masks = jnp.zeros((F, h, w, 1)).at[:, :4].set(1.0)
+        ctx = jax.random.normal(jax.random.PRNGKey(4),
+                                (F, 4, TINY_UNET.context_dim))
+        key = jax.random.PRNGKey(3)
+
+        ref = See3DPipeline(unet, params, DDIMConfig(num_steps=steps))
+        out_ref = ref.inpaint_latents(key, warp, masks, ctx, gt_num=1)
+
+        mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
+        shd = See3DPipeline(unet, params, DDIMConfig(num_steps=steps),
+                            mesh=mesh)
+        out_shd = shd.inpaint_latents(key, warp, masks, ctx, gt_num=1)
+        np.testing.assert_allclose(np.asarray(out_shd), np.asarray(out_ref),
+                                   atol=2e-5)
