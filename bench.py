@@ -72,6 +72,12 @@ def main():
         ("pallas", "", RenderConfig()),
         ("pallas", "_noprune", RenderConfig(tile_ellipse_prune=False)),
         ("pallas", "_rankbin", RenderConfig(depth_rank_binning=True)),
+        # Capacity-trim variants: identical output iff nothing drops — the
+        # n_dropped gate below rejects them otherwise (r4 VERDICT #8).
+        ("pallas", "_bf3", RenderConfig(buf_factor=3)),
+        ("pallas", "_cap8bf3", RenderConfig(max_tiles_per_splat=8,
+                                            buf_factor=3)),
+        ("pallas", "_cw4", RenderConfig(binning_compact_width=4)),
         ("tiled", "", RenderConfig()),
     ]
     best = None  # (fps, backend, variant)
@@ -79,6 +85,12 @@ def main():
         if best is not None and backend != best[1]:
             break  # pallas ran; skip the fallback backend
         try:
+            drops = int(render(cam, scene, backend=backend, need_aux=False,
+                               config=config)["n_dropped"])
+            if drops:
+                print(f"# {backend}{variant}: {drops} dropped entries — "
+                      "not output-identical, skipped", file=sys.stderr)
+                continue
             f = jax.jit(lambda s, b=backend, c=config: render(
                 cam, s, backend=b, need_aux=False, config=c)["render"])
             f(scene).block_until_ready()

@@ -86,6 +86,7 @@ def render(
         m1_tot = out.m1_tot.reshape(H, W)
         m2_tot = out.m2_tot.reshape(H, W)
         n_dropped = jnp.int32(0)   # dense oracle composites every splat
+        n_overflow = jnp.int32(0)
     elif backend == "tiled":
         from g4splat_tpu.ops.rasterize_tiled import render_tiled
 
@@ -93,7 +94,7 @@ def render(
                else None if config.buf_factor == 4
                else config.buf_factor * prep.depth.shape[0])
         (color, alpha, normal_cam, depth_acc, median_depth, distortion,
-         final_T, n_contrib, m1_tot, m2_tot, n_dropped) = (
+         final_T, n_contrib, m1_tot, m2_tot, n_dropped, n_overflow) = (
             render_tiled(camera, prep_b, bg, near=config.near,
                          far=config.far, tile_k=config.tile_k,
                          buf_size=buf,
@@ -109,7 +110,7 @@ def render(
                else None if config.buf_factor == 4
                else config.buf_factor * prep.depth.shape[0])
         (color, alpha, normal_cam, depth_acc, median_depth, distortion,
-         final_T, n_contrib, m1_tot, m2_tot, n_dropped) = (
+         final_T, n_contrib, m1_tot, m2_tot, n_dropped, n_overflow) = (
             render_pallas(camera, prep_b, bg, near=config.near,
                           far=config.far, need_aux=need_aux,
                           buf_size=buf,
@@ -156,10 +157,13 @@ def render(
         # stop-gradient outputs.
         "dist_m1": m1_tot,
         "dist_m2": m2_tot,
-        # Entries lost to static binning caps (buffer overflow / tile cap /
-        # compaction overflow) — 0 in healthy operation; the trainer
-        # surfaces it so capacity-knob overflow is loud, never silent.
+        # Entries lost to static binning caps. n_dropped = total (incl.
+        # the per-splat rect-cap truncation, a static semantic cap shared
+        # with every round since r3); n_overflow = just the entry-buffer /
+        # compaction-block component — 0 in healthy operation, and what
+        # the trainer's buffer auto-bump keys on.
         "n_dropped": n_dropped,
+        "n_overflow": n_overflow,
     }
     if _DEBUG_DUMP:
         _dump_if_nonfinite(out, camera, scene, backend)

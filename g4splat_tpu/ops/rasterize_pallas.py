@@ -678,7 +678,7 @@ def _render_pallas_bwd(static, res, cts):
     # cotangents are not propagated (stop-gradient semantics, like
     # n_contrib).
     (g_color, g_alpha, g_normal, g_depth_acc, g_med, g_dist, g_finT,
-     _g_ncontrib, _g_m1, _g_m2, _g_ndrop) = cts
+     _g_ncontrib, _g_m1, _g_m2, _g_ndrop, _g_novf) = cts
 
     def f32(x):
         return jnp.asarray(x, jnp.float32)
@@ -855,7 +855,7 @@ def _render_pallas_impl(
         m1_tot = zero
         m2_tot = zero
     outputs = (color, alpha, normal, depth_acc, med, dist, final_T, n_contrib,
-               m1_tot, m2_tot, binning.n_dropped)
+               m1_tot, m2_tot, binning.n_dropped, binning.n_overflow)
     if return_residuals:
         return outputs, (binning, comb, entry_valid, out_aux[..., 4:8])
     return outputs

@@ -51,11 +51,17 @@ class Binning(NamedTuple):
     # payload; the backward falls back to scatter-add there).
     slot_id: Optional[jnp.ndarray] = None
     # (P,) post-prune candidate count per splat (None in rank mode).
-    # With n_dropped == 0 every candidate is present in the buffer, so
-    # exclusive-cumsum(counts_valid) gives each splat's contiguous run
-    # start in (gauss_id, slot_id)-sorted entry order — the scatter-free
-    # gradient reduction's placement rule (rasterize_pallas_bwd).
+    # With n_overflow == 0 every post-prune candidate is present in the
+    # buffer, so exclusive-cumsum(counts_valid) gives each splat's
+    # contiguous run start in (gauss_id, slot_id)-sorted entry order — the
+    # scatter-free gradient reduction's placement rule (rasterize_pallas).
     counts_valid: Optional[jnp.ndarray] = None
+    # () int32 — the BUFFER-CAPACITY component of n_dropped (sorted-buffer
+    # overflow + compaction-block exhaustion). Unlike the per-splat
+    # rect-cap truncation term (a static semantic cap, also counted in
+    # n_dropped), this component is fixable by growing the entry buffer —
+    # it is what the trainer's auto-bump keys on.
+    n_overflow: Optional[jnp.ndarray] = None
 
 
 def _ellipse_keep(prep: Preprocessed, tx: jnp.ndarray, ty: jnp.ndarray):
@@ -359,8 +365,8 @@ def bin_splats(
     # (a truncated slot's prune verdict is never computed — conservative
     # overcount); compaction-overflow rows drop whole (exact count).
     total = jnp.sum(slot_valid) - extra_dropped
-    dropped = (jnp.maximum(total - buf_size, 0)
-               + jnp.sum(counts - counts_cap) + extra_dropped)
+    overflow = jnp.maximum(total - buf_size, 0) + extra_dropped
+    dropped = overflow + jnp.sum(counts - counts_cap)
     return Binning(
         gauss_id=gid_sorted,
         tile_id=tile_sorted,
@@ -369,6 +375,7 @@ def bin_splats(
         n_dropped=dropped.astype(jnp.int32),
         slot_id=slot_sorted,
         counts_valid=counts_valid,
+        n_overflow=overflow.astype(jnp.int32),
     )
 
 
@@ -465,14 +472,15 @@ def _bin_splats_rank(prep: Preprocessed, gx: int, gy: int, n_tiles: int,
         jnp.int32
     )
     total = jnp.sum(slot_valid) - extra_dropped
-    dropped = (jnp.maximum(total - buf_size, 0)
-               + jnp.sum(counts - counts_cap) + extra_dropped)
+    overflow = jnp.maximum(total - buf_size, 0) + extra_dropped
+    dropped = overflow + jnp.sum(counts - counts_cap)
     return Binning(
         gauss_id=gid_sorted,
         tile_id=tile_sorted,
         tile_start=tile_start,
         tile_count=tile_end - tile_start,
         n_dropped=dropped.astype(jnp.int32),
+        n_overflow=overflow.astype(jnp.int32),
     )
 
 
@@ -607,7 +615,7 @@ def render_tiled_wh(
                          compact_width=compact_width)
     return _render_tiles(
         prep, binning, bg, width, height, near, far, tile_k, tile_batch,
-    ) + (binning.n_dropped,)
+    ) + (binning.n_dropped, binning.n_overflow)
 
 
 def render_tiled(

@@ -809,6 +809,14 @@ class G4SplatPipeline:
                 depth_ratio=float(sched.get("depth_ratio", 0.5)),
                 spatial_lr_scale=extent,
                 backend=cfg.render_backend,
+                # Binning compaction width 4: the sort keys halve vs the
+                # default 8 (full step 472 → 424 ms at the budget shape,
+                # logs/profile_budget_step_r05*.json). Exact while drops
+                # stay 0 — rows with >4 candidate tiles ride the overflow
+                # block whole, and the n_dropped metric + entry-buffer
+                # auto-bump keep any overflow loud.
+                raster_compact_width=int(sched.get("raster_compact_width",
+                                                   4)),
             )
             views = ViewData(
                 image=jnp.asarray(st.images),

@@ -234,6 +234,7 @@ def losses_from_render(
         "radii": out["radii"],
         "visibility": out["visibility_filter"],
         "n_dropped": out["n_dropped"],
+        "n_overflow": out["n_overflow"],
     }
 
     if cfg.use_chart_priors:
@@ -315,6 +316,7 @@ def train_step(
         "psnr": aux["psnr"],
         "n_alive": scene.num_alive,
         "n_dropped": aux["n_dropped"],
+        "n_overflow": aux["n_overflow"],
     }
     return scene, opt_state, dstate, metrics
 
@@ -755,7 +757,7 @@ class Trainer:
 
         if sync_metrics:
             m = {k: float(v) for k, v in metrics.items()}
-            if m.get("n_dropped", 0) > 0 and self.cfg.raster_buf_size > 0:
+            if m.get("n_overflow", 0) > 0 and self.cfg.raster_buf_size > 0:
                 self._bump_buf()
             return m
         return metrics

@@ -23,6 +23,8 @@ import json
 import os
 import sys
 
+TAG = os.environ.get("BUDGET_TAG", "r05")
+
 REF = {
     "sfm_iters": 2000,        # 1000 coarse + 1000 refine
     "charts_iters": 1000,
@@ -46,12 +48,17 @@ def stage_map(run):
 
 
 def main():
-    warm = load("logs/budget_r04.json")
-    cold = load("logs/budget_r04_cold.json")
-    probes = load("logs/budget_probes_r04.json", {})
-    ab = load("logs/ab_dp_r04.json", {})
+    def load_tagged(stem, default=None):
+        return load(f"logs/{stem}_{TAG}.json",
+                    load(f"logs/{stem}_r04.json", default))
+
+    warm = load_tagged("budget")
+    cold = load_tagged("budget_cold") or load("logs/budget_r04_cold.json")
+    probes = load_tagged("budget_probes", {})
+    ab = load_tagged("ab_dp", {})
+    step_prof = load_tagged("profile_budget_step", {})
     if warm is None:
-        sys.exit("logs/budget_r04.json missing — run scripts/run_budget.py")
+        sys.exit(f"logs/budget_{TAG}.json missing — run scripts/run_budget.py")
     args = warm["args"]
     V = args["views"]
     wm, cm = stage_map(warm), stage_map(cold)
@@ -82,11 +89,13 @@ def main():
         ("refine_plane_depths", 1, fan, f"/{fan} per-view RANSAC renders"),
         ("train_gaussians", REF["train_iters"] / train_iters, None,
          f"x{REF['train_iters'] / train_iters:g} iters ({train_iters}->"
-         f"{REF['train_iters']}); v5e-8 = DP (allreduce model below)"),
+         f"{REF['train_iters']}); v5e-8 = slab-sharded step (model below)"),
         ("init See3D", 1, 1, "param init, once"),
         ("see3d_stage", None, 1,
-         "MVD: measured per-call s, x(50/%d) DDIM steps; joint-frame UNet "
-         "not sharded (conservative)" % ddim_steps),
+         "MVD: measured per-call s, x(50/%d) DDIM steps; denoise sharded "
+         "over the CFG pair + frame groups (priors/see3d.py axis_name "
+         "path, parity-tested)" % ddim_steps),
+        ("render_all", 1, fan, f"/{fan} view fan-out"),
         ("extract_mesh", 1, fan, f"/{fan} TSDF view renders"),
         ("evaluate", 1, fan, f"/{fan} per-view renders+metrics"),
     ]
@@ -97,32 +106,34 @@ def main():
                 return f, d, txt
         return 1, 1, "no scaling"
 
-    # DP speedup from the allreduce model (filled below; used for rows with
-    # divisor None). The equal-view-visit reading of the 7000-iter schedule
-    # (875 steps x 8 views) only cuts wall-clock if quality survives 8x
-    # fewer Adam steps — gate the divisor on the LR-scaled A/B arm
-    # (scripts/ab_dp.py dp8_lr) coming within 1 dB of the single arm.
+    # v5e-8 training: the SLAB-SHARDED step (quality-preserving; the DP
+    # quality-parity arm failed — ab_dp dp8_lr 16.2 vs 27.3 dB single, so
+    # large-batch/few-step DP is ruled out, see logs/ab_dp_r05.json and the
+    # orchestrator default). Model: every splat-linear component (preprocess,
+    # binning sort, entry pack, both kernels, gradient reduction, preprocess
+    # AD chain) divides by 8; the replicated remainder is the image-space
+    # loss math (LM) + optimizer (full_step - losses_fwd+bwd); comm = one
+    # (8, H, W, 13) maps all_gather + the final cotangent scatter psum over
+    # ICI (~8 ms modeled at 45 GB/s/link). Exactness of the sharded step:
+    # tests/test_parallel.py::TestSlabShardedTraining.
     dp_speedup = None
-    dp_quality_ok = False
-    if "single" in ab and "dp8_lr" in ab:
-        dp_quality_ok = (ab["dp8_lr"]["psnr"] >= ab["single"]["psnr"] - 1.0)
+    dp_quality_ok = ("single" in ab and "dp8_lr" in ab
+                     and ab["dp8_lr"]["psnr"] >= ab["single"]["psnr"] - 1.0)
     cap = probes.get("capacity")
-    step_ms = probes.get("train_ms_per_iter")
-    ar_ms = None
-    if cap and step_ms:
-        grad_mb = cap * 58 * 4 / 1e6
-        # ring all-reduce on 8 chips: 2*(7/8)*bytes per chip over ICI
-        ici_gbps = 45.0
-        ar_ms = 2 * (7 / 8) * grad_mb / 1e3 / ici_gbps * 1e3
-        model_speedup = 8.0 / (1.0 + ar_ms / step_ms)
-        if dp_quality_ok:
-            dp_speedup = model_speedup
-        else:
-            # Quality parity NOT demonstrated: v5e-8 runs the full step
-            # count (8 views/step improves quality, not wall-clock) and
-            # only pays the allreduce overhead.
-            dp_speedup = 1.0 / (1.0 + ar_ms / step_ms) \
-                if step_ms else None
+    step_ms = probes.get("train_ms_per_iter") or step_prof.get(
+        "full_train_step")
+    slab_model_txt = ""
+    if step_ms:
+        LM = 15.0      # image-space loss math fwd+bwd (est from probes)
+        ADAM = max(step_prof.get("full_train_step", step_ms)
+                   - step_prof.get("losses_fwd+bwd", step_ms - 9.0), 5.0)
+        COMM = 8.0     # maps all_gather + grad psum over ICI, modeled
+        t8 = (step_ms - LM - ADAM) / 8.0 + LM + ADAM + COMM
+        dp_speedup = step_ms / t8
+        slab_model_txt = (
+            f"slab-8 step = ({step_ms:.0f} − {LM:.0f} − {ADAM:.0f})/8 + "
+            f"{LM:.0f} + {ADAM:.0f} + {COMM:.0f} = {t8:.0f} ms "
+            f"(x{dp_speedup:.2f})")
 
     print("### Measured stages (cold vs warm cache) and extrapolation\n")
     print("| Stage | cold s | warm s | ref-schedule 1-chip s | v5e-8 s |"
@@ -175,14 +186,10 @@ def main():
             continue
         if d is None:
             d8 = ref_s / dp_speedup if dp_speedup else ref_s
-            if dp_speedup and dp_quality_ok:
-                dtxt = f"DP x{dp_speedup:.2f} (dp8_lr quality parity)"
-            elif dp_speedup:
-                dtxt = (f"DP x{dp_speedup:.2f}: NO wall-clock cut — "
-                        "equal-visit quality parity not demonstrated "
-                        "(ab_dp), full step count + allreduce overhead")
+            if dp_speedup:
+                dtxt = f"slab-sharded x{dp_speedup:.2f} ({slab_model_txt})"
             else:
-                dtxt = "no DP model (probe missing)"
+                dtxt = "no slab model (step probe missing)"
             txt += f"; {dtxt}"
         else:
             d8 = ref_s / d
@@ -203,28 +210,41 @@ def main():
             s50 = cll["seconds"] * REF["ddim_steps"] / cll["ddim_steps"]
             extra += s50 - cll["seconds"]
             print(f"| {i} | {cll['frames']} | {cll['seconds']} | {s50:.0f} |")
-        print(f"\nAdditional MVD seconds at 50 steps: +{extra:.0f}s "
-              "(1-chip AND v5e-8 — UNet unsharded)")
+        # v5e-8 MVD: the denoise shards the 2F cond/uncond frames over the
+        # data axis (joint attention all_gathers tokens; parity-tested to
+        # 2e-5 — tests/test_see3d.py::TestShardedDenoise). Divisor =
+        # (2F)/ceil(2F/8) x 0.85 attention-gather efficiency.
+        import math as _math
+
+        def mvd_div(frames):
+            tf = 2 * frames
+            return max(1.0, tf / _math.ceil(tf / 8) * 0.85)
+
+        div = mvd_div(calls[0]["frames"]) if calls else 1.0
+        print(f"\nAdditional MVD seconds at 50 steps: +{extra:.0f}s 1-chip; "
+              f"v5e-8 /{div:.2f} (sharded denoise) = +{extra / div:.0f}s")
         tot_1chip += extra
-        tot_8 += extra
+        tot_8 += extra / div
 
     print(f"\n**Totals**: reference schedule on 1 v5e chip ~= "
           f"{tot_1chip:.0f}s ({tot_1chip / 60:.1f} min); on v5e-8 ~= "
           f"{tot_8:.0f}s ({tot_8 / 60:.1f} min) vs the 30-min target.")
 
-    if cap and step_ms:
-        print(f"\n### DP allreduce model\n\ncapacity={cap:,} splats -> "
-              f"grad pytree {cap * 58 * 4 / 1e6:.0f} MB; ring allreduce "
-              f"2*(7/8)*bytes over ICI at ~45 GB/s/link = {ar_ms:.1f} ms "
-              f"vs measured {step_ms:.1f} ms/step -> ideal equal-visit DP "
-              f"~{8.0 / (1.0 + ar_ms / step_ms):.2f}x on 8 chips; applied "
-              f"train divisor {dp_speedup:.2f}x (quality-parity gated, "
-              f"see above).")
+    if step_ms:
+        print(f"\n### v5e-8 training model\n\n{slab_model_txt}; the slab "
+              "step preserves single-device quality exactly (per-view "
+              "depth-slab splat sharding + exact composition; "
+              "tests/test_parallel.py::TestSlabShardedTraining), unlike DP:")
     if ab:
-        print("\n### DP quality parity (logs/ab_dp_r04.json)\n")
-        for k in ("single", "dp8"):
+        print(f"\n### DP quality A/B (logs/ab_dp_{TAG}.json) — why v5e-8 "
+              "does NOT use data-parallel training\n")
+        for k in ("single", "dp8", "dp8_lr"):
             if k in ab:
                 print(f"- {k}: {ab[k]}")
+        if not dp_quality_ok:
+            print("\nEqual-view-visit DP loses >1 dB even with sqrt-batch "
+                  "LR scaling -> the orchestrator keeps DP off by default "
+                  "and multi-chip training uses the slab-sharded step.")
 
 
 if __name__ == "__main__":

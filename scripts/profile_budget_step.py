@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--views", type=int, default=5)
     ap.add_argument("--n", type=int, default=20)
     ap.add_argument("--json", default="logs/profile_budget_step_r05.json")
+    ap.add_argument("--quick", action="store_true",
+                    help="skip the render_fwd variants; just the step rows")
+    ap.add_argument("--compact_w", type=int, default=8)
+    ap.add_argument("--cap", type=int, default=16)
     ap.add_argument("--backend", default="pallas",
                     help="trainer backend (r04 accidentally profiled the "
                     "TrainConfig default 'tiled'; production is pallas)")
@@ -105,11 +109,11 @@ def main():
 
     # Binning variants at this shape (bench.py self-selects these on the
     # bench scene; the budget scene is 12x the splats at 0.44x the pixels).
-    for name, kw in [
+    for name, kw in ([] if args.quick else [
         ("render_fwd_nodist", dict(compute_distortion=False)),
         ("render_fwd_rankbin", dict(depth_rank_binning=True)),
         ("render_fwd_cap8", dict(max_tiles_per_splat=8)),
-    ]:
+    ]):
         c2 = RenderConfig(depth_ratio=0.5, **kw)
         f = jax.jit(lambda s, c2=c2: render(cam0, s, config=c2,
                                             backend="pallas")["render"])
@@ -117,6 +121,8 @@ def main():
             timeit(name, f, scene)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: {type(e).__name__}: {e}", flush=True)
+    out["compact_w"] = args.compact_w
+    out["cap"] = args.cap
 
     # --------------------------------------------------------- training step
     img = np.asarray(rfwd(scene))
@@ -134,7 +140,9 @@ def main():
     )
     tcfg = TrainConfig(iterations=10 ** 6, densify_until_iter=10 ** 9,
                        opacity_reset_interval=10 ** 9, spatial_lr_scale=1.0,
-                       backend=args.backend)
+                       backend=args.backend,
+                       raster_compact_width=args.compact_w,
+                       raster_max_tiles_per_splat=args.cap)
     tr = Trainer(scene, cameras, views, tcfg, seed=0)
     tcfg = tr.cfg      # auto-tuned raster_buf_size (measured real entries)
     out["raster_buf_size"] = int(tcfg.raster_buf_size)
