@@ -181,12 +181,29 @@ def build_state(cameras: Camera, depths: jnp.ndarray, extent: float,
     )
 
 
+def sample_encodings(params_enc, H: int, W: int):
+    """Chart code planes sampled at the canonical half-pixel pixel lattice.
+
+    build_state's uv grid is exactly the half-pixel mapping
+    x = (i+0.5)·w/W − 0.5, i.e. a bilinear RESIZE of each (V, r, r, C)
+    plane to (V, H, W, C) — jax.image.resize's separable two-matmul path
+    on the MXU, replacing ~16M random bilinear gathers per iteration
+    (TPU gathers are element-serial: the aligner measured 0.7 s/iter
+    gather-bound, logs/budget_probes_r04.json / budget_r05). Identical to
+    grid_sample_bilinear(state.uv) up to float rounding (same coordinate
+    model, border clamping); pinned by TestEncodingResize.
+    """
+    feats = []
+    for g in params_enc:
+        V, _, _, C = g.shape
+        feats.append(jax.image.resize(g, (V, H, W, C), method="linear"))
+    return jnp.concatenate(feats, axis=-1)
+
+
 def forward_deformation(params, state: ChartAlignState, cfg: ChartAlignConfig):
     """→ deformed verts (V, H, W, 3)."""
-    feats = []
-    for g in params["enc"]:
-        feats.append(jax.vmap(grid_sample_bilinear)(g, state.uv))
-    enc = jnp.concatenate(feats, axis=-1)  # (V, H, W, D)
+    Vh, Hh, Wh = state.depth_coord.shape
+    enc = sample_encodings(params["enc"], Hh, Wh)     # (V, H, W, D)
 
     if cfg.weight_encodings_with_confidence:
         # parallel_aligner.py:348-355: detached conf, w = 1 - exp(-(c-1)²/2).
@@ -194,16 +211,16 @@ def forward_deformation(params, state: ChartAlignState, cfg: ChartAlignConfig):
         cw = conf - 1.0
         enc = enc * (1.0 - jnp.exp(-0.5 * cw * cw))[..., None]
 
-    # Depth encoding: linear interp into the per-chart bin table.
+    # Depth encoding: linear interp into the per-chart bin table. Linear
+    # interpolation == the hat-function basis, so it rides ONE
+    # (V·H·W, nb)@(nb, C) matmul instead of 2·V·H·W random gathers
+    # (element-serial on TPU; same rationale as sample_encodings).
     nb = params["denc"].shape[1]
     t = (state.depth_coord + 1.0) / 2.0 * (nb - 1)
-    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, nb - 2)
-    w = (t - i0)[..., None]
-
-    def dsample(table, i0, w):
-        return table[i0] * (1 - w) + table[i0 + 1] * w
-
-    denc = jax.vmap(dsample)(params["denc"], i0, w)
+    t = jnp.clip(t, 0.0, nb - 1.0)
+    hat = jnp.maximum(
+        0.0, 1.0 - jnp.abs(t[..., None] - jnp.arange(nb, dtype=t.dtype)))
+    denc = jnp.einsum("vhwn,vnc->vhwc", hat, params["denc"])
     x = enc + denc
 
     for li, layer in enumerate(params["mlp"]):
@@ -357,10 +374,9 @@ def align_charts(
         if cfg.regularize_chart_encodings_norms:
             # parallel_aligner.py:811-814: mean L2 norm of the sampled
             # multi-res chart encodings at the chart uv grid.
-            feats = [jax.vmap(grid_sample_bilinear)(g, state.uv)
-                     for g in params["enc"]]
+            Vh, Hh, Wh = state.depth_coord.shape
             enc_norm = jnp.linalg.norm(
-                jnp.concatenate(feats, axis=-1), axis=-1).mean()
+                sample_encodings(params["enc"], Hh, Wh), axis=-1).mean()
             total = total + cfg.chart_encodings_norm_loss_weight * enc_norm
         if cfg.use_total_variation_on_depth_encodings:
             # parallel_aligner.py:816-819: TV over adjacent depth bins.

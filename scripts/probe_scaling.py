@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--views", type=int, default=5)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--train_probe_iters", type=int, default=200)
-    ap.add_argument("--json", default="logs/budget_probes_r04.json")
+    ap.add_argument("--json", default="logs/budget_probes_r05.json")
     args = ap.parse_args()
 
     import jax
@@ -158,8 +158,12 @@ def main():
         prior_curv=jnp.zeros((V, H, W)), confidence=jnp.ones((V, H, W)),
         color_weight=jnp.ones(V), scale_factor=jnp.asarray(1.0),
     )
+    # Production trainer config: pallas backend + compact_width 4 (the
+    # orchestrator's settings — the r04 probe accidentally timed the
+    # TrainConfig default 'tiled' backend).
     tcfg = TrainConfig(iterations=10 ** 6, densify_until_iter=10 ** 9,
-                       opacity_reset_interval=10 ** 9, spatial_lr_scale=1.0)
+                       opacity_reset_interval=10 ** 9, spatial_lr_scale=1.0,
+                       backend="pallas", raster_compact_width=4)
     tr = Trainer(scene, cameras, views, tcfg, seed=0)
     tr.train(20)                               # compile + warm-up
     jax.block_until_ready(tr.scene.xyz)

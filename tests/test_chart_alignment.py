@@ -114,3 +114,30 @@ class TestAlignment:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestEncodingResize:
+    def test_resize_matches_grid_sample(self):
+        """sample_encodings (MXU separable resize) must equal the original
+        grid_sample_bilinear at build_state's canonical half-pixel uv grid
+        — same coordinate model (x = (i+0.5)·w/W − 0.5), border clamp."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from g4splat_tpu.pipeline.chart_alignment import (
+            grid_sample_bilinear,
+            sample_encodings,
+        )
+
+        rng = np.random.default_rng(0)
+        V, r, C, H, W = 2, 7, 5, 23, 31
+        g = jnp.asarray(rng.normal(size=(V, r, r, C)), jnp.float32)
+        xs = (jnp.arange(W) + 0.5) / W * 2.0 - 1.0
+        ys = (jnp.arange(H) + 0.5) / H * 2.0 - 1.0
+        uv = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+        uv = jnp.broadcast_to(uv, (V, H, W, 2))
+        ref = jax.vmap(grid_sample_bilinear)(g, uv)
+        out = sample_encodings([g], H, W)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)  # resize accumulates in a different order
