@@ -266,11 +266,15 @@ def make_slab_sharded_train_step(mesh: Mesh, cfg, optimizer):
 
             @partial(
                 jax.shard_map, mesh=mesh,
-                in_specs=(P(), P(), P("model")),
-                out_specs=(P(), P("model"), P()),
+                in_specs=(P(), P(), P("model"), P()),
+                out_specs=(P(), P("model"), P(), P()),
                 check_vma=False,
             )
-            def render_slabs(s_rep, offset_rep, perm_shard):
+            def render_slabs(s_rep, offset_rep, perm_shard, cam):
+                # `cam` rides the operand list (NOT closure capture): a
+                # replicated camera's leaves carry an Auto-mesh
+                # NamedSharding that zeros_like would try to preserve
+                # inside this Manual context.
                 idx = perm_shard                      # (N/n,) this slab
                 slab = jax.tree.map(
                     lambda x: x[idx]
@@ -278,7 +282,7 @@ def make_slab_sharded_train_step(mesh: Mesh, cfg, optimizer):
                     else x,
                     s_rep,
                 )
-                out = render(camera, slab, config=rcfg,
+                out = render(cam, slab, config=rcfg,
                              center_offset=offset_rep[idx],
                              backend=cfg.backend)
                 maps = slab_maps_from_render(out)[None]      # (1, H, W, 13)
@@ -286,14 +290,17 @@ def make_slab_sharded_train_step(mesh: Mesh, cfg, optimizer):
                                               tiled=True)   # (n, H, W, 13)
                 radii = jax.lax.stop_gradient(out["radii"])[None]
                 ndrop = jax.lax.psum(out["n_dropped"], "model")
-                return gathered, radii, ndrop
+                novf = jax.lax.psum(out["n_overflow"], "model")
+                return gathered, radii, ndrop, novf
 
-            maps, radii_sorted, ndrop = render_slabs(s, offset, perm)
+            maps, radii_sorted, ndrop, novf = render_slabs(
+                s, offset, perm, camera)
             out = outputs_from_slab_maps(camera, maps, cfg.depth_ratio)
             radii = radii_sorted.reshape(N)[inv_perm]        # back to id order
             out["radii"] = radii
             out["visibility_filter"] = radii > 0
             out["n_dropped"] = ndrop
+            out["n_overflow"] = novf
             return losses_from_render(s, out, view, cfg, iteration, key)
 
         offset = jnp.zeros((N, 2))
