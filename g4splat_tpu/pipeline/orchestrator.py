@@ -771,6 +771,20 @@ class G4SplatPipeline:
                     voxel_downsample=voxel,
                 )
             n = len(parts["means"])
+            if n > cfg.gaussian_capacity:
+                # Hard cap, like the reference's 10M ceiling
+                # (train_with_refine_depth.py:147): keep an evenly-strided
+                # subset of the init points (they arrive in view order, so
+                # striding keeps per-view coverage balanced).
+                keep = np.linspace(0, n - 1, cfg.gaussian_capacity,
+                                   dtype=np.int64)
+                parts = {k: (v[keep] if getattr(v, "ndim", 0) >= 1
+                             and len(v) == n else v)
+                         for k, v in parts.items()}
+                print(f"[pipeline] init points {n} exceed gaussian_capacity "
+                      f"{cfg.gaussian_capacity}: strided subset kept",
+                      flush=True)
+                n = cfg.gaussian_capacity
             capacity = min(cfg.gaussian_capacity, max(2 * n, n + 1024))
             scene = scene_from_init(parts, capacity=capacity)
 
