@@ -775,16 +775,21 @@ class G4SplatPipeline:
                 # Hard cap, like the reference's 10M ceiling
                 # (train_with_refine_depth.py:147): keep an evenly-strided
                 # subset of the init points (they arrive in view order, so
-                # striding keeps per-view coverage balanced).
-                keep = np.linspace(0, n - 1, cfg.gaussian_capacity,
-                                   dtype=np.int64)
+                # striding keeps per-view coverage balanced). Subsample to
+                # ~77% of the cap so densification has headroom inside the
+                # static buffer — starting exactly full triggers an
+                # overflow→grow→recompile cascade on the first densify and
+                # doubles the buffer past the cap (the r05 budget run
+                # OOM'd at see3d_stage3 from exactly that 4M growth).
+                target = max(1, cfg.gaussian_capacity * 10 // 13)
+                keep = np.linspace(0, n - 1, target, dtype=np.int64)
                 parts = {k: (v[keep] if getattr(v, "ndim", 0) >= 1
                              and len(v) == n else v)
                          for k, v in parts.items()}
                 print(f"[pipeline] init points {n} exceed gaussian_capacity "
                       f"{cfg.gaussian_capacity}: strided subset kept",
                       flush=True)
-                n = cfg.gaussian_capacity
+                n = target
             capacity = min(cfg.gaussian_capacity, max(2 * n, n + 1024))
             scene = scene_from_init(parts, capacity=capacity)
 
