@@ -229,6 +229,14 @@ def main():
             jnp.zeros((1, 8, 8, ucfg.in_channels)),
             jnp.zeros(1, jnp.int32),
             jnp.zeros((1, 4, ucfg.context_dim)), num_frames=1)
+        # bf16 prior params, like the reference's fp16 See3D deployment
+        # (mv_diffusion.py loads torch_dtype=float16): the full random f32
+        # prior set (~7.7 GB UNet+VAE+CLIP×2) plus 2M-splat render
+        # transients exceeded one v5e's HBM at see3d_stage3.
+        uparams = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            uparams)
         see3d = See3DPipeline(unet, uparams,
                               DDIMConfig(num_steps=args.ddim_steps))
         orig = see3d.inpaint_latents
@@ -243,11 +251,21 @@ def main():
 
         see3d.inpaint_latents = spy
         priors.see3d = see3d
+
+        def bf16(tree):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                tree)
+
         vae = AutoencoderKL()
-        priors.vae = (vae, vae.init(jax.random.PRNGKey(1),
-                                    jnp.zeros((1, 32, 32, 3))))
+        priors.vae = (vae, bf16(vae.init(jax.random.PRNGKey(1),
+                                         jnp.zeros((1, 32, 32, 3)))))
         priors.image_embedder = CLIPImageEmbedder()
         priors.text_embedder = CLIPTextEmbedder()
+        for emb in (priors.image_embedder, priors.text_embedder):
+            if getattr(emb, "params", None) is not None:
+                emb.params = bf16(emb.params)
 
     timed("init See3D SD2.1 UNet+VAE+CLIPx2 (random)", with_see3d)
 
