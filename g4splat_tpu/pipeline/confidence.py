@@ -106,6 +106,21 @@ def anchor_plane_color_harmonize(
     depths = jnp.asarray(depths)
     V, H, W = depths.shape
     pts = []
+    # Host-side projection matrices, fetched ONCE per view: the per-plane ×
+    # per-anchor loop below issues thousands of tiny projections, and each
+    # device dispatch over a remote-tunneled TPU costs ~0.1 s (the r05
+    # budget run measured 313.7 s for this stage; the matmuls themselves are
+    # microseconds of numpy).
+    w2p = np.stack([
+        np.asarray(jax.tree.map(lambda x, v=v: x[v], cameras).world2pix)
+        for v in range(V)
+    ])  # (V, 3, 4)
+
+    def np_project(view, p):
+        ph = p @ w2p[view, :, :3].T + w2p[view, :, 3]
+        z = ph[:, 2]
+        return ph[:, :2] / (z[:, None] + 1e-8), z
+
     for v in range(V):
         cam = jax.tree.map(lambda x, v=v: x[v], cameras)
         pts.append(np.asarray(cam.backproject(depths[v])).reshape(-1, 3))
@@ -121,12 +136,10 @@ def anchor_plane_color_harmonize(
                               [np.zeros((0, 3), np.float32)])
         if len(pool) == 0:
             continue
-        pool_j = jnp.asarray(pool, jnp.float32)
         best, best_n = -1, 0
         for a in anchor_view_ids:
-            cam = jax.tree.map(lambda x, a=a: x[a], cameras)
-            xy, z = cam.project(pool_j)
-            in_img = np.asarray(
+            xy, z = np_project(a, pool)
+            in_img = (
                 (xy[:, 0] >= 0) & (xy[:, 0] < W)
                 & (xy[:, 1] >= 0) & (xy[:, 1] < H) & (z > 0)
             )
@@ -135,14 +148,12 @@ def anchor_plane_color_harmonize(
                 best, best_n = a, n
         if best < 0:
             continue
-        acam = jax.tree.map(lambda x: x[best], cameras)
         adepth = np.asarray(depths[best])
         aimg = images[best]
         for (v, pid), p in zip(members, plane_pts):
             if v == best or len(p) == 0:
                 continue
-            xy, z = acam.project(jnp.asarray(p, jnp.float32))
-            xy, z = np.asarray(xy), np.asarray(z)
+            xy, z = np_project(best, p)
             u = np.clip(np.round(xy[:, 0]).astype(np.int64), 0, W - 1)
             vv = np.clip(np.round(xy[:, 1]).astype(np.int64), 0, H - 1)
             in_img = (

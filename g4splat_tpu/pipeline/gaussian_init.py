@@ -270,8 +270,28 @@ def init_by_warp_from_depths(
 
 def scene_from_init(parts, capacity: Optional[int] = None,
                     max_sh_degree: int = 3, initial_opacity: float = 0.1):
-    """Init dict → GaussianScene."""
+    """Init dict → GaussianScene. Non-finite rows are dropped first:
+    garbage prior depths (e.g. random-weight See3D lifts) backproject to
+    NaN means, and a NaN splat is inert in the renderer (preprocess culls
+    it) but IMMORTAL under the reference prune rule (`opacity < eps` is
+    False for NaN) — the r05 budget run carried ~7% NaN slots through
+    every round, wasting capacity the clamp had reserved for real points."""
+    import numpy as np
+
     from g4splat_tpu.models.gaussians import GaussianScene
+
+    means = np.asarray(parts["means"])
+    finite = np.isfinite(means).all(axis=1)
+    for k in ("scales", "quaternions", "colors"):
+        if parts.get(k) is not None:
+            finite &= np.isfinite(np.asarray(parts[k])).reshape(
+                len(means), -1).all(axis=1)
+    if not finite.all():
+        print(f"[gaussian_init] dropping {int((~finite).sum())} non-finite "
+              f"init points of {len(means)}", flush=True)
+        parts = {k: (np.asarray(v)[finite] if getattr(v, "ndim", 0) >= 1
+                     and len(v) == len(means) else v)
+                 for k, v in parts.items()}
 
     return GaussianScene.from_points(
         parts["means"], parts.get("colors"),

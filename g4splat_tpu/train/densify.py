@@ -97,6 +97,13 @@ def densify_and_prune(
     split_mask = hot & (max_scale > percent_dense * scene_extent)
 
     prune_mask = alive & (base_opacity < min_opacity)
+    # Non-finite splats are inert in the renderer (preprocess culls them)
+    # but `NaN < eps` is False, so the reference rule alone never reclaims
+    # their slots — prune them explicitly.
+    finite = (jnp.isfinite(scene.xyz).all(axis=-1)
+              & jnp.isfinite(scene.scaling_raw).all(axis=-1)
+              & jnp.isfinite(scene.opacity_raw[:, 0]))
+    prune_mask = prune_mask | (alive & ~finite)
     if max_screen_size:
         prune_mask = prune_mask | (alive & (state.max_radii2d > max_screen_size))
         prune_mask = prune_mask | (alive & (max_scale > 0.1 * scene_extent))

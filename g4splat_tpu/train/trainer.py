@@ -658,6 +658,9 @@ class Trainer:
         old_cap = old.capacity
         alive_idx = np.flatnonzero(np.asarray(old.alive))
         n = len(alive_idx)
+        print(f"[trainer] densify overflow: growing capacity "
+              f"{old_cap} -> {new_capacity} ({n} alive; recompiles every "
+              f"capacity-shaped jit)", flush=True)
         self.scene = compact_and_grow(old, new_capacity)
         if self.cfg.raster_buf_size > 0:
             # Entry count scales with the splat population; keep the

@@ -72,6 +72,28 @@ class TestManifoldInit:
         assert alpha.min() > 0.3
 
 
+class TestNonFiniteInit:
+    def test_scene_from_init_drops_nan_rows(self):
+        """Garbage prior depths backproject to NaN means; scene_from_init
+        must drop them before they occupy immortal capacity slots."""
+        n = 50
+        rng = np.random.RandomState(0)
+        parts = {
+            "means": rng.randn(n, 3).astype(np.float32),
+            "scales": np.full((n, 2), 0.05, np.float32),
+            "quaternions": np.tile(np.array([[1, 0, 0, 0]], np.float32),
+                                   (n, 1)),
+            "colors": rng.rand(n, 3).astype(np.float32),
+        }
+        parts["means"][:5] = np.nan
+        parts["scales"][5:8] = np.inf
+        scene = scene_from_init(parts)
+        assert int(scene.num_alive) == n - 8
+        alive = np.asarray(scene.alive)
+        assert np.isfinite(np.asarray(scene.xyz)[alive]).all()
+        assert np.isfinite(np.asarray(scene.scaling_raw)[alive]).all()
+
+
 class TestWarpInit:
     def test_dedup_across_views(self):
         cameras, depths, images = plane_setup(V=2, shift=0.1)

@@ -118,6 +118,25 @@ class TestDensify:
         assert int(rep.n_pruned) == 10
         assert int(s2.num_alive) == 10
 
+    def test_prune_nonfinite_splats(self):
+        """NaN splats are inert in render but `NaN < eps` is False, so the
+        reference prune rule alone never reclaims them (densify.py finite
+        guard; seen as ~7% immortal NaN slots in the r05 budget run)."""
+        scene = self._scene()
+        scene = scene.replace(
+            xyz=scene.xyz.at[:4].set(jnp.nan),
+            scaling_raw=scene.scaling_raw.at[4:7].set(jnp.nan),
+            opacity_raw=scene.opacity_raw.at[7:10, 0].set(jnp.nan),
+        )
+        st = DensifyState.zero(scene.capacity)
+        s2, _, _, rep = densify_and_prune(
+            jax.random.PRNGKey(0), scene, st, scene_extent=1.0,
+        )
+        assert int(rep.n_pruned) == 10
+        assert int(s2.num_alive) == 10
+        alive = np.asarray(s2.alive)
+        assert np.isfinite(np.asarray(s2.xyz)[alive]).all()
+
     def test_capacity_overflow_drops(self):
         scene = self._scene(n=20, capacity=24)
         st = DensifyState.zero(scene.capacity)
