@@ -230,11 +230,28 @@ def main():
         print("| call | frames | measured s @%d steps | s @50 steps |"
               % ddim_steps)
         print("|---|---|---|---|")
+        # With >=2 same-shape calls, the cheapest per-step rate is the
+        # steady state and the first call's excess is a ONE-TIME UNet/VAE
+        # compile — extrapolating it x(50/5) would charge the compile ten
+        # times. One-shape guard: only applied when all calls share the
+        # frame count.
+        steady = None
+        if (len(calls) >= 2
+                and len({c["frames"] for c in calls}) == 1):
+            steady = min(c["seconds"] / c["ddim_steps"] for c in calls)
         extra = 0.0
         for i, cll in enumerate(calls):
-            s50 = cll["seconds"] * REF["ddim_steps"] / cll["ddim_steps"]
+            if steady is not None:
+                once = cll["seconds"] - steady * cll["ddim_steps"]
+                s50 = once + steady * REF["ddim_steps"]
+            else:
+                s50 = cll["seconds"] * REF["ddim_steps"] / cll["ddim_steps"]
             extra += s50 - cll["seconds"]
             print(f"| {i} | {cll['frames']} | {cll['seconds']} | {s50:.0f} |")
+        if steady is not None:
+            print(f"\n(steady per-step rate {steady:.2f} s — the min over "
+                  "same-shape calls; each call's excess over it is counted "
+                  "once, not x(50/%d))" % ddim_steps)
         # v5e-8 MVD: the denoise shards the 2F cond/uncond frames over the
         # data axis (joint attention all_gathers tokens; parity-tested to
         # 2e-5 — tests/test_see3d.py::TestShardedDenoise). Divisor =
